@@ -1,0 +1,13 @@
+"""gsjax — TPU-native geometry-grounded Gaussian splatting.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the CUDA
+reference `XiShuFan/Geometry-Grounded-Gaussian-Splatting` (RaDe-GS rasterizer
+with median depth/normal rendering, Mip-Splatting filters, spherical-Gaussian
+appearance, GOF densification, PGSR multi-view losses, TSDF / marching
+tetrahedra mesh extraction, DTU / TnT / Mip-360 evaluation), re-designed for
+TPUs: tile-vectorised rasterisation over 32x32 pixel tiles (one 8x128 f32
+vector register tile per pixel block), sort-based binning in XLA, and
+`shard_map` data-parallel tiles across a device mesh.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,80 @@
+"""Tile binning: duplicate gaussians into (tile, depth)-sorted pair lists.
+
+TPU-native replacement for `duplicateWithKeys` + cub radix sort +
+`identifyTileRanges` (rasterizer_impl.cu:70-161, 380-422). Key differences:
+
+  - Static shapes: a fixed `pair_capacity` buffer (bucketed, recompile on
+    growth) instead of the reference's `num_rendered`-sized dynamic alloc.
+  - Expansion without scatter: pair p finds its source gaussian with
+    `searchsorted` over the inclusive cumsum of tiles_touched (O(K log N)
+    vectorised), rather than per-gaussian dynamic writes.
+  - `jax.lax.sort` with two keys (tile, depth) instead of a packed 64-bit
+    radix key (rasterizer_impl.cu:98-100).
+
+All quantities here are non-differentiable (sort order is fixed wrt autodiff,
+matching the reference backward which treats the binning as constant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gsjax.ops.raster.config import RasterConfig
+from gsjax.ops.raster.preprocess import Preprocessed
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Binning:
+    gauss_idx: jax.Array    # [K] int32 gaussian index per sorted pair (padding -> 0)
+    pair_valid: jax.Array   # [K] bool
+    tile_start: jax.Array   # [T] int32 offset of each tile's slice
+    tile_count: jax.Array   # [T] int32 number of pairs in each tile
+    num_pairs: jax.Array    # [] int32 total real pairs (for capacity monitoring)
+    max_tile_count: jax.Array  # [] int32 (for max_per_tile monitoring)
+
+
+def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int) -> Binning:
+    tiles_x, tiles_y = cfg.grid(width, height)
+    num_tiles = tiles_x * tiles_y
+    k = cfg.pair_capacity
+
+    touched = jax.lax.stop_gradient(prep.tiles_touched)
+    cum = jnp.cumsum(touched)                      # inclusive
+    total = cum[-1]
+
+    # pair p -> source gaussian (first g with cum[g] > p)
+    p_ids = jnp.arange(k, dtype=jnp.int32)
+    g = jnp.searchsorted(cum, p_ids, side="right").astype(jnp.int32)
+    g = jnp.minimum(g, touched.shape[0] - 1)
+    offset = cum[g] - touched[g]                   # exclusive cumsum at g
+    j = p_ids - offset                             # rank within g's rect
+
+    w = jnp.maximum(prep.rect_wh[g, 0], 1)
+    ty = prep.rect_min[g, 1] + j // w
+    tx = prep.rect_min[g, 0] + j % w
+    tile = ty * tiles_x + tx
+
+    pair_valid = p_ids < total
+    key_tile = jnp.where(pair_valid, tile, num_tiles).astype(jnp.int32)
+    key_depth = jnp.where(pair_valid, jax.lax.stop_gradient(prep.depth)[g], jnp.inf)
+
+    sorted_tile, _, sorted_g = jax.lax.sort(
+        (key_tile, key_depth, g), num_keys=2)
+
+    bounds = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    tile_start = bounds[:-1]
+    tile_count = bounds[1:] - bounds[:-1]
+
+    return Binning(
+        gauss_idx=sorted_g,
+        pair_valid=p_ids < jnp.minimum(total, k),
+        tile_start=tile_start,
+        tile_count=tile_count,
+        num_pairs=total.astype(jnp.int32),
+        max_tile_count=jnp.max(tile_count),
+    )
