@@ -91,7 +91,9 @@ def render_tiles(prep: Preprocessed, binning: Binning, camera: Camera,
     log_tmin = math.log(cfg.transmittance_min)
 
     feats_pairs = _pack_features(prep)[binning.gauss_idx]
-    feats_pairs = feats_pairs * binning.pair_valid[:, None].astype(feats_pairs.dtype)
+    # `where`, not multiply: padding pairs may gather dead (even NaN) rows and
+    # NaN * 0 would poison the blend.
+    feats_pairs = jnp.where(binning.pair_valid[:, None], feats_pairs, 0.0)
     # pad so dynamic_slice never clamps (starts <= K)
     feats_pairs = jnp.concatenate(
         [feats_pairs, jnp.zeros((chunk, _F), feats_pairs.dtype)], axis=0)

@@ -1,0 +1,99 @@
+"""Training losses.
+
+Equivalents of `utils/loss_utils.py` (l1/ssim/L1_loss_appearance) and
+`utils/graphics_utils.py:depth_to_normal`. Images are channels-last [H,W,C].
+SSIM matches fused-ssim semantics: 11x11 gaussian window, sigma 1.5,
+padding='valid' (loss_utils.py:48-49).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(a, b):
+    return jnp.mean(jnp.abs(a - b))
+
+
+def l2_loss(a, b):
+    return jnp.mean((a - b) ** 2)
+
+
+def psnr(img, gt):
+    mse = jnp.mean((img - gt) ** 2)
+    return 20 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+def _gaussian_window(size=11, sigma=1.5):
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2 * sigma ** 2))
+    return jnp.asarray((g / g.sum()).astype(np.float32))
+
+
+def _blur_valid(img, win):
+    """Separable valid-mode gaussian filter. img: [H,W,C]."""
+    k = win.shape[0]
+    x = jnp.moveaxis(img, -1, 0)[:, None]          # [C,1,H,W]
+    kern_h = win.reshape(1, 1, k, 1)
+    kern_w = win.reshape(1, 1, 1, k)
+    x = jax.lax.conv_general_dilated(x, kern_h, (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(x, kern_w, (1, 1), "VALID")
+    return jnp.moveaxis(x[:, 0], 0, -1)            # [H-k+1, W-k+1, C]
+
+
+def ssim(img1, img2, window_size=11, sigma=1.5):
+    """Mean SSIM over valid region, [H,W,C] inputs."""
+    win = _gaussian_window(window_size, sigma)
+    mu1 = _blur_valid(img1, win)
+    mu2 = _blur_valid(img2, win)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _blur_valid(img1 * img1, win) - mu1_sq
+    s2 = _blur_valid(img2 * img2, win) - mu2_sq
+    s12 = _blur_valid(img1 * img2, win) - mu12
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    return jnp.mean(ssim_map)
+
+
+def depth_to_normal(depth, fx, fy, cx, cy):
+    """Camera-space normals from a z-depth map via central differences of
+    back-projected points (utils/graphics_utils.py:103-119).
+
+    depth: [H,W]. Returns (normal [H,W,3], valid [H,W] bool)."""
+    h, w = depth.shape
+    x = (jnp.arange(w, dtype=jnp.float32) - cx) / fx
+    y = (jnp.arange(h, dtype=jnp.float32) - cy) / fy
+    pts = jnp.stack([depth * x[None, :], depth * y[:, None], depth], axis=-1)
+    dy = pts[2:, 1:-1] - pts[:-2, 1:-1]
+    dx = pts[1:-1, 2:] - pts[1:-1, :-2]
+    n = jnp.cross(dy, dx)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    normal = jnp.pad(n, ((1, 1), (1, 1), (0, 0)))
+
+    vd = depth > 0
+    valid_inner = vd[2:, 1:-1] & vd[:-2, 1:-1] & vd[1:-1, 2:] & vd[1:-1, :-2] & vd[1:-1, 1:-1]
+    valid = jnp.zeros_like(vd).at[1:-1, 1:-1].set(valid_inner)
+    return normal, valid
+
+
+def depth_normal_loss(rendered_normal, depth_normal, valid):
+    """1 - <n_render, n_depth> averaged (train.py:174-176)."""
+    err = 1.0 - jnp.sum(rendered_normal * depth_normal, axis=-1)
+    return jnp.mean(jnp.where(valid, err, 0.0))
+
+
+# --- decoupled appearance ----------------------------------------------------
+
+def l1_appearance_gs(image, gt, exposure):
+    """GS exposure model: 3x4 affine per view (loss_utils.py:96-103)."""
+    flat = image.reshape(-1, 3)
+    mapped = flat @ exposure[:3, :3].T + exposure[:3, 3]
+    return l1_loss(mapped.reshape(image.shape), gt)
+
+
+def l1_appearance_pgsr(image, gt, embedding):
+    """PGSR 2-param: exp(a)*img + b (loss_utils.py:121-123)."""
+    return l1_loss(jnp.exp(embedding[0]) * image + embedding[1], gt)

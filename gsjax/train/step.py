@@ -1,0 +1,99 @@
+"""Jitted training step: render -> losses -> grads -> Adam -> stats.
+
+Mirrors the hot loop of `train.py:89-263` (loss assembly at :169-191) but as a
+pure function over the fixed-capacity model pytrees. Multi-view (NCC/geo)
+losses plug in via `gsjax.train.multiview` once regularisation kicks on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from gsjax.model import gaussians as gm
+from gsjax.ops.raster import render
+from gsjax.ops.raster.camera import Camera
+from gsjax.ops.raster.config import RasterConfig
+from gsjax.train import losses
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Static loss weights (OptimizationParams, arguments/__init__.py:106-118)."""
+    lambda_dssim: float = 0.2
+    lambda_depth_normal: float = 0.05
+    lambda_mv_ncc: float = 0.6
+    lambda_mv_geo: float = 0.02
+    reg_on: bool = False          # iteration >= regularization_from_iter
+    appearance: str = "no"        # no | gs | pgsr | gof
+
+
+@partial(jax.jit, static_argnames=("cfg", "loss_cfg"))
+def train_step(params: gm.GaussianParams,
+               aux: gm.GaussianAux,
+               adam: gm.AdamState,
+               camera: Camera,
+               gt_image: jax.Array,
+               bg: jax.Array,
+               lrs: dict[str, Any],
+               cfg: RasterConfig,
+               loss_cfg: LossConfig,
+               app_embedding: jax.Array | None = None):
+    """One optimisation step. Returns (params, aux, adam, metrics)."""
+
+    def loss_fn(p: gm.GaussianParams, mean2d_offset: jax.Array):
+        scales, opac = gm.scaling_n_opacity_with_3d_filter(p, aux.filter_3d)
+        out = render(p.xyz, scales, p.rotation, opac, gm.get_features(p),
+                     camera, cfg, bg,
+                     sg_axis=gm.get_sg_axis(p),
+                     sg_sharpness=gm.get_sg_sharpness(p),
+                     sg_color=p.sg_color,
+                     alive=aux.alive,
+                     mean2d_offset=mean2d_offset)
+        img = out["render"]
+        if loss_cfg.appearance == "gs" and app_embedding is not None:
+            ll1 = losses.l1_appearance_gs(img, gt_image, app_embedding)
+        elif loss_cfg.appearance == "pgsr" and app_embedding is not None:
+            ll1 = losses.l1_appearance_pgsr(img, gt_image, app_embedding)
+        else:
+            ll1 = losses.l1_loss(img, gt_image)
+        ssim_val = losses.ssim(img[None].squeeze(0), gt_image)
+        rgb_loss = (1 - loss_cfg.lambda_dssim) * ll1 + \
+            loss_cfg.lambda_dssim * (1 - ssim_val)
+
+        dn_loss = jnp.zeros(())
+        if loss_cfg.reg_on and loss_cfg.lambda_depth_normal > 0 and cfg.require_depth:
+            dnormal, valid = losses.depth_to_normal(
+                out["median_depth"], camera.fx, camera.fy, camera.cx, camera.cy)
+            dn_loss = losses.depth_normal_loss(out["normal"], dnormal, valid)
+
+        total = rgb_loss + loss_cfg.lambda_depth_normal * dn_loss
+        metrics = dict(loss=total, l1=ll1, ssim=ssim_val, dn_loss=dn_loss,
+                       num_pairs=out["num_pairs"],
+                       max_tile_count=out["max_tile_count"])
+        side = dict(visibility=out["visibility"], radii=out["radii"])
+        return total, (metrics, side)
+
+    zeros2d = jnp.zeros((params.capacity, 2))
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+    (_, (metrics, side)), (gp, g2d) = grad_fn(params, zeros2d)
+
+    # dead-slot math (norms at zero, etc.) can produce NaN grads; those slots
+    # carry no loss so their true gradient is zero.
+    def _mask(g):
+        m = aux.alive.reshape((-1,) + (1,) * (g.ndim - 1))
+        return jnp.where(m, g, 0.0)
+    gp = jax.tree_util.tree_map(_mask, gp)
+    g2d = _mask(g2d)
+
+    aux = gm.add_densification_stats(aux, g2d, side["visibility"],
+                                     camera.width, camera.height)
+    aux = dataclasses.replace(
+        aux, max_radii=jnp.maximum(aux.max_radii,
+                                   jnp.where(side["visibility"], side["radii"], 0)))
+    params, adam = gm.adam_update(params, gp, adam, lrs)
+    return params, aux, adam, metrics
