@@ -1,0 +1,86 @@
+"""Headline benchmark: rasterizer fwd+bwd throughput (rays/s/chip) at 1080p.
+
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"}. The baseline
+constant (30 Mrays/s) is the throughput class of the reference CUDA trainer on
+a desktop GPU (~30 train iters/s at ~1 Mpix, SURVEY.md section 6 /
+BASELINE.md: no numbers published in-repo, so a nominal reference-class figure
+is used for vs_baseline).
+
+Env overrides: GSJAX_BENCH_{WIDTH,HEIGHT,N,ITERS} for quick runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 30e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gsjax.ops.raster import RasterConfig, render
+    from gsjax.ops.raster.camera import Camera
+    from gsjax.train import losses
+
+    width = int(os.environ.get("GSJAX_BENCH_WIDTH", 1920))
+    height = int(os.environ.get("GSJAX_BENCH_HEIGHT", 1080))
+    n = int(os.environ.get("GSJAX_BENCH_N", 100_000))
+    iters = int(os.environ.get("GSJAX_BENCH_ITERS", 10))
+
+    rng = np.random.default_rng(0)
+    means = rng.normal(0, 1.2, (n, 3)).astype(np.float32)
+    means[:, 2] += 5.0
+    scales = np.exp(rng.normal(-3.3, 0.3, (n, 3))).astype(np.float32)
+    quats = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = (1 / (1 + np.exp(-rng.normal(0.0, 1.0, (n, 1))))).astype(np.float32)
+    shs = rng.normal(0, 0.3, (n, 16, 3)).astype(np.float32)
+
+    cam = Camera.create(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                        1.0, 0.66, width, height)
+    cfg = RasterConfig(pair_capacity=1 << 21, max_per_tile=1 << 11,
+                       sh_degree=3, require_depth=True)
+    gt = jnp.asarray(rng.uniform(0, 1, (height, width, 3)).astype(np.float32))
+    bg = jnp.zeros(3)
+    args = tuple(map(jnp.asarray, (means, scales, quats, opac, shs)))
+
+    @jax.jit
+    def fwd_bwd(means, scales, quats, opac, shs):
+        def loss_fn(m, s, q, o, c):
+            out = render(m, s, q, o, c, cam, cfg, bg)
+            ll1 = losses.l1_loss(out["render"], gt)
+            ssim_val = losses.ssim(out["render"], gt)
+            dn = jnp.mean(out["median_depth"]) * 1e-6  # touch geometry path
+            return 0.8 * ll1 + 0.2 * (1 - ssim_val) + dn
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+            means, scales, quats, opac, shs)
+        return loss, grads
+
+    # warmup / compile
+    loss, grads = fwd_bwd(*args)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = fwd_bwd(*args)
+    jax.block_until_ready(loss)
+    jax.block_until_ready(grads)
+    dt = time.perf_counter() - t0
+
+    rays_per_s = width * height * iters / dt
+    print(json.dumps({
+        "metric": "raster_fwd_bwd_rays_per_s_1080p",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

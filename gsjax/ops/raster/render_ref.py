@@ -80,23 +80,93 @@ def _tile_pixels(tile_id, tiles_x, cfg: RasterConfig):
     return px, py
 
 
+def prepare_pairs(prep: Preprocessed, binning: Binning, cfg: RasterConfig) -> jax.Array:
+    """Gather per-pair features in sorted order, sanitised and padded so
+    per-tile dynamic slices never clamp."""
+    feats_pairs = _pack_features(prep)[binning.gauss_idx]
+    # `where`, not multiply: padding pairs may gather dead (even NaN) rows and
+    # NaN * 0 would poison the blend.
+    feats_pairs = jnp.where(binning.pair_valid[:, None], feats_pairs, 0.0)
+    return jnp.concatenate(
+        [feats_pairs, jnp.zeros((cfg.chunk, _F), feats_pairs.dtype)], axis=0)
+
+
+@partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable,
+         static_argnums=(7,))
+def _chunk_blend(carry, feats_pairs, base_rel, start, count, px, py,
+                 cfg: RasterConfig):
+    """Blend one [chunk] slice of a tile's sorted gaussian list into the
+    per-pixel carry (sequential CUDA loop -> cumulative log-transmittance)."""
+    chunk = cfg.chunk
+    log_tmin = math.log(cfg.transmittance_min)
+    log_t, c_acc, n_acc, last_idx, md_init = carry
+    base = start + base_rel
+    feats = jax.lax.dynamic_slice(feats_pairs, (base, 0), (chunk, _F))
+    rel = base_rel + jnp.arange(chunk, dtype=jnp.int32)
+    entry_valid = rel < count
+    a, passes, dx, dy = _alpha_terms(feats, px, py, cfg, entry_valid)
+    log1m = jnp.log1p(-a)                                  # [C,P]
+    l_incl = log_t[None, :] + jnp.cumsum(log1m, axis=0)
+    keep = l_incl >= log_tmin
+    l_prev = l_incl - log1m
+    w = a * jnp.exp(l_prev) * keep                          # blend weights
+    hp = jax.lax.Precision.HIGHEST
+    c_acc = c_acc + jnp.einsum("kp,kc->pc", w, feats[:, 6:9], precision=hp)
+    n_acc = n_acc + jnp.einsum("kp,kc->pc", w, feats[:, 13:16], precision=hp)
+    # median-depth init: last applied gaussian whose preceding T > 0.5
+    # (ray_plane = columns 9:13 -> rp0, rp1, tc, rsigma)
+    t_val = feats[:, 9:10] * dx + feats[:, 10:11] * dy + feats[:, 11:12]
+    applied = passes & keep
+    cond = applied & (jnp.exp(l_prev) > 0.5)
+    k_ids = jnp.arange(chunk, dtype=jnp.int32)[:, None]
+    best = jnp.max(jnp.where(cond, k_ids, -1), axis=0)      # [P]
+    md_chunk = jnp.take_along_axis(t_val, jnp.maximum(best, 0)[None, :], axis=0)[0]
+    md_init = jnp.where(best >= 0, md_chunk, md_init)
+    last_idx = jnp.maximum(last_idx, jnp.max(jnp.where(applied, rel[:, None], -1), axis=0))
+    log_t = log_t + jnp.sum(log1m * keep, axis=0)
+    return (log_t, c_acc, n_acc, last_idx, md_init)
+
+
+def blend_tile(feats_pairs, tile_id, start, count, tiles_x, cfg: RasterConfig,
+               bg, width, height, fx, fy):
+    """Full blend (+ optional median depth) for one tile. Returns per-pixel dict."""
+    p = cfg.pixels_per_tile
+    chunk = cfg.chunk
+    n_chunks = -(-cfg.max_per_tile // chunk)
+    px, py = _tile_pixels(tile_id, tiles_x, cfg)
+    carry = (jnp.zeros((p,)), jnp.zeros((p, 3)), jnp.zeros((p, 3)),
+             jnp.full((p,), -1, jnp.int32), jnp.zeros((p,)))
+
+    def step(c_, c):
+        return _chunk_blend(c_, feats_pairs, c * chunk, start, count, px, py, cfg), None
+
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_chunks, dtype=jnp.int32))
+    log_t, c_acc, n_acc, last_idx, md_init = carry
+    t_final = jnp.exp(log_t)
+    out = dict(
+        color=c_acc + t_final[:, None] * bg[None, :],
+        alpha=1.0 - t_final,
+        n_contrib=(last_idx + 1).astype(jnp.int32),
+        normal=jnp.where((last_idx >= 0)[:, None],
+                         n_acc / jnp.maximum(1.0 - t_final, 1e-12)[:, None],
+                         0.0),
+    )
+    if cfg.require_depth:
+        out["median_depth"] = _median_depth(
+            feats_pairs, start, last_idx + 1, md_init, t_final,
+            px, py, width, height, fx, fy, cfg)
+    else:
+        out["median_depth"] = jnp.zeros((p,))
+    return out
+
+
 def render_tiles(prep: Preprocessed, binning: Binning, camera: Camera,
                  cfg: RasterConfig, bg: jax.Array):
     """Blend all tiles. Returns dict of [H,W,*] images."""
     tiles_x, tiles_y = cfg.grid(camera.width, camera.height)
     num_tiles = tiles_x * tiles_y
-    p = cfg.pixels_per_tile
-    chunk = cfg.chunk
-    n_chunks = -(-cfg.max_per_tile // chunk)
-    log_tmin = math.log(cfg.transmittance_min)
 
-    feats_pairs = _pack_features(prep)[binning.gauss_idx]
-    # `where`, not multiply: padding pairs may gather dead (even NaN) rows and
-    # NaN * 0 would poison the blend.
-    feats_pairs = jnp.where(binning.pair_valid[:, None], feats_pairs, 0.0)
-    # pad so dynamic_slice never clamps (starts <= K)
-    feats_pairs = jnp.concatenate(
-        [feats_pairs, jnp.zeros((chunk, _F), feats_pairs.dtype)], axis=0)
+    feats_pairs = prepare_pairs(prep, binning, cfg)
 
     num_batches = -(-num_tiles // cfg.tile_batch)
     t_pad = num_batches * cfg.tile_batch
@@ -104,70 +174,14 @@ def render_tiles(prep: Preprocessed, binning: Binning, camera: Camera,
     starts = jnp.where(tile_ids < num_tiles, binning.tile_start[jnp.minimum(tile_ids, num_tiles - 1)], 0)
     counts = jnp.where(tile_ids < num_tiles, binning.tile_count[jnp.minimum(tile_ids, num_tiles - 1)], 0)
 
-    @partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
-    def main_chunk(carry, base_rel, start, count, px, py):
-        log_t, c_acc, n_acc, last_idx, md_init = carry
-        base = start + base_rel
-        feats = jax.lax.dynamic_slice(feats_pairs, (base, 0), (chunk, _F))
-        rel = base_rel + jnp.arange(chunk, dtype=jnp.int32)
-        entry_valid = rel < count
-        a, passes, dx, dy = _alpha_terms(feats, px, py, cfg, entry_valid)
-        log1m = jnp.log1p(-a)                                  # [C,P]
-        l_incl = log_t[None, :] + jnp.cumsum(log1m, axis=0)
-        keep = l_incl >= log_tmin
-        l_prev = l_incl - log1m
-        w = a * jnp.exp(l_prev) * keep                          # blend weights
-        hp = jax.lax.Precision.HIGHEST
-        c_acc = c_acc + jnp.einsum("kp,kc->pc", w, feats[:, 6:9], precision=hp)
-        n_acc = n_acc + jnp.einsum("kp,kc->pc", w, feats[:, 13:16], precision=hp)
-        # median-depth init: last applied gaussian whose preceding T > 0.5
-        # (ray_plane = columns 9:13 -> rp0, rp1, tc, rsigma)
-        t_val = feats[:, 9:10] * dx + feats[:, 10:11] * dy + feats[:, 11:12]
-        applied = passes & keep
-        cond = applied & (jnp.exp(l_prev) > 0.5)
-        k_ids = jnp.arange(chunk, dtype=jnp.int32)[:, None]
-        best = jnp.max(jnp.where(cond, k_ids, -1), axis=0)      # [P]
-        md_chunk = jnp.take_along_axis(t_val, jnp.maximum(best, 0)[None, :], axis=0)[0]
-        md_init = jnp.where(best >= 0, md_chunk, md_init)
-        last_idx = jnp.maximum(last_idx, jnp.max(jnp.where(applied, rel[:, None], -1), axis=0))
-        log_t = log_t + jnp.sum(log1m * keep, axis=0)
-        return (log_t, c_acc, n_acc, last_idx, md_init)
-
-    # --- main blend over all tiles, batched ----------------------------------
     def batch_body(_, b):
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, b * cfg.tile_batch, cfg.tile_batch)
-        b_ids = sl(tile_ids)
-        b_start = sl(starts)
-        b_count = sl(counts)
 
         def one_tile(tile_id, start, count):
-            px, py = _tile_pixels(tile_id, tiles_x, cfg)
-            carry = (jnp.zeros((p,)), jnp.zeros((p, 3)), jnp.zeros((p, 3)),
-                     jnp.full((p,), -1, jnp.int32), jnp.zeros((p,)))
+            return blend_tile(feats_pairs, tile_id, start, count, tiles_x, cfg,
+                              bg, camera.width, camera.height, camera.fx, camera.fy)
 
-            def step(carry, c):
-                return main_chunk(carry, c * chunk, start, count, px, py), None
-
-            carry, _ = jax.lax.scan(step, carry, jnp.arange(n_chunks, dtype=jnp.int32))
-            log_t, c_acc, n_acc, last_idx, md_init = carry
-            t_final = jnp.exp(log_t)
-            out = dict(
-                color=c_acc + t_final[:, None] * bg[None, :],
-                alpha=1.0 - t_final,
-                n_contrib=(last_idx + 1).astype(jnp.int32),
-                normal=jnp.where((last_idx >= 0)[:, None],
-                                 n_acc / jnp.maximum(1.0 - t_final, 1e-12)[:, None],
-                                 0.0),
-            )
-            if cfg.require_depth:
-                out["median_depth"] = _median_depth(
-                    feats_pairs, start, last_idx + 1, md_init, t_final,
-                    px, py, camera, cfg)
-            else:
-                out["median_depth"] = jnp.zeros((p,))
-            return out
-
-        return None, jax.vmap(one_tile)(b_ids, b_start, b_count)
+        return None, jax.vmap(one_tile)(sl(tile_ids), sl(starts), sl(counts))
 
     _, outs = jax.lax.scan(batch_body, None, jnp.arange(num_batches))
     # outs leaves: [num_batches, tile_batch, P, ...] -> images
@@ -176,7 +190,7 @@ def render_tiles(prep: Preprocessed, binning: Binning, camera: Camera,
 
 
 def _median_depth(feats_pairs, start, n_contrib, md_init, t_final, px, py,
-                  camera: Camera, cfg: RasterConfig):
+                  width, height, fx, fy, cfg: RasterConfig):
     """SPLIT-way transmittance bisection for T(t*)=0.5 (render_forward.cu:535-645)."""
     p = px.shape[0]
     chunk = cfg.chunk
@@ -242,8 +256,8 @@ def _median_depth(feats_pairs, start, n_contrib, md_init, t_final, px, py,
     m_depth = jnp.where(in_range, w_max * d_max + (1.0 - w_max) * d_min, 0.0)
 
     # ray distance -> z depth (render_forward.cu:421-422, 656)
-    pnx = (px - (camera.width - 1) / 2.0) / camera.fx
-    pny = (py - (camera.height - 1) / 2.0) / camera.fy
+    pnx = (px - (width - 1) / 2.0) / fx
+    pny = (py - (height - 1) / 2.0) / fy
     rln = jax.lax.rsqrt(pnx * pnx + pny * pny + 1.0)
     return m_depth * rln
 

@@ -1,0 +1,1 @@
+from gsjax.parallel.shard import make_mesh, render_sharded, train_step_sharded  # noqa: F401

@@ -1,0 +1,167 @@
+"""Multi-chip data parallelism: tiles sharded over the device mesh.
+
+The reference is strictly single-GPU (SURVEY.md section 2.3); this layer is the
+TPU-native scaling design: gaussians replicated, *tiles/rays sharded* across
+chips over ICI, parameter gradients psum-reduced inside the shard_mapped
+backward. Densification stays replicated (identical on every device, keyed by
+the same PRNG), so no cross-host reshuffling is required — each device holds
+the full (small) parameter set while the pixel work scales linearly.
+
+Layout per device under `shard_map`:
+  - preprocess + binning: computed replicated (cheap vs the blend).
+  - tile blend: each device renders its contiguous slice of tiles.
+  - images: all_gathered so non-local losses (SSIM windows crossing tile
+    boundaries) see the full frame; autodiff turns the gather into a scatter
+    of image grads back to the owning device.
+  - parameter grads: explicit psum over the mesh axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gsjax.model import gaussians as gm
+from gsjax.ops.raster import render_ref
+from gsjax.ops.raster.binning import bin_gaussians
+from gsjax.ops.raster.camera import Camera
+from gsjax.ops.raster.config import RasterConfig
+from gsjax.ops.raster.preprocess import preprocess
+from gsjax.train import losses
+from gsjax.train.step import LossConfig
+
+AXIS = "tiles"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(devs, (AXIS,))
+
+
+def _render_local_tiles(prep, binning, camera: Camera, cfg: RasterConfig,
+                        bg, my_tiles):
+    """Blend a device-local slice of tiles. my_tiles: [T_local] global ids."""
+    tiles_x, _ = cfg.grid(camera.width, camera.height)
+    num_tiles_global = binning.tile_start.shape[0]
+    t_local = my_tiles.shape[0]
+
+    feats = render_ref.prepare_pairs(prep, binning, cfg)
+
+    in_bounds = my_tiles < num_tiles_global
+    safe_ids = jnp.minimum(my_tiles, num_tiles_global - 1)
+    starts = jnp.where(in_bounds, binning.tile_start[safe_ids], 0)
+    counts = jnp.where(in_bounds, binning.tile_count[safe_ids], 0)
+
+    def one_tile(tile_id, start, count):
+        out = render_ref.blend_tile(feats, tile_id, start, count, tiles_x, cfg,
+                                    bg, camera.width, camera.height,
+                                    camera.fx, camera.fy)
+        out.pop("n_contrib")
+        return out
+
+    # small tile batches bound peak memory
+    bs = min(cfg.tile_batch, t_local)
+    nb = -(-t_local // bs)
+
+    def batch(_, b):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, b * bs, bs)
+        return None, jax.vmap(one_tile)(sl(safe_ids), sl(starts), sl(counts))
+
+    _, outs = jax.lax.scan(batch, None, jnp.arange(nb))
+    return {k: v.reshape((nb * bs,) + v.shape[2:])[:t_local] for k, v in outs.items()}
+
+
+def _tiles_to_image(tiles, tiles_x, tiles_y, width, height, cfg: RasterConfig):
+    t = cfg.tile
+    ch = tiles.shape[2:]
+    v = tiles[: tiles_x * tiles_y].reshape((tiles_y, tiles_x, t, t) + ch)
+    v = jnp.moveaxis(v, 2, 1).reshape((tiles_y * t, tiles_x * t) + ch)
+    return v[:height, :width]
+
+
+def render_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
+                   camera: Camera, cfg: RasterConfig, bg, mesh: Mesh):
+    """Full-frame render with tiles sharded over the mesh."""
+    n_dev = mesh.devices.size
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(), P(), P(AXIS)),
+             out_specs=P(), check_vma=False)
+    def run(p, aux_, bg_, my_tiles):
+        scales, opac = gm.scaling_n_opacity_with_3d_filter(p, aux_.filter_3d)
+        prep = preprocess(p.xyz, scales, p.rotation, opac, gm.get_features(p),
+                          gm.get_sg_axis(p), gm.get_sg_sharpness(p), p.sg_color,
+                          camera, cfg, aux_.alive)
+        binning = bin_gaussians(prep, cfg, camera.width, camera.height)
+        local = _render_local_tiles(prep, binning, camera, cfg, bg_, my_tiles[0])
+        gathered = {k: jax.lax.all_gather(v, AXIS, tiled=True) for k, v in local.items()}
+        return gathered
+
+    tiles_x, tiles_y = cfg.grid(camera.width, camera.height)
+    num_tiles = tiles_x * tiles_y
+    t_pad = -(-num_tiles // n_dev) * n_dev
+    tile_ids = jnp.arange(t_pad, dtype=jnp.int32).reshape(n_dev, -1)
+    tiles = run(params, aux, bg, tile_ids)
+    return {k: _tiles_to_image(v, tiles_x, tiles_y, camera.width, camera.height, cfg)
+            for k, v in tiles.items()}
+
+
+def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
+                       adam: gm.AdamState, camera: Camera, gt_image, bg,
+                       lrs, cfg: RasterConfig, loss_cfg: LossConfig, mesh: Mesh):
+    """Sharded train step: per-device tile blend, psum'd parameter grads,
+    replicated Adam update."""
+    n_dev = mesh.devices.size
+    tiles_x, tiles_y = cfg.grid(camera.width, camera.height)
+    num_tiles = tiles_x * tiles_y
+    t_pad = -(-num_tiles // n_dev) * n_dev
+    tile_ids = jnp.arange(t_pad, dtype=jnp.int32).reshape(n_dev, -1)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P(), P(AXIS)),
+             out_specs=(P(), P()), check_vma=False)
+    def run(p, aux_, gt, bg_, my_tiles):
+        def loss_fn(p_):
+            scales, opac = gm.scaling_n_opacity_with_3d_filter(p_, aux_.filter_3d)
+            prep = preprocess(p_.xyz, scales, p_.rotation, opac,
+                              gm.get_features(p_), gm.get_sg_axis(p_),
+                              gm.get_sg_sharpness(p_), p_.sg_color,
+                              camera, cfg, aux_.alive)
+            binning = bin_gaussians(prep, cfg, camera.width, camera.height)
+            local = _render_local_tiles(prep, binning, camera, cfg, bg_, my_tiles[0])
+            full = {k: jax.lax.all_gather(v, AXIS, tiled=True)
+                    for k, v in local.items()}
+            img = _tiles_to_image(full["color"], tiles_x, tiles_y,
+                                  camera.width, camera.height, cfg)
+            ll1 = losses.l1_loss(img, gt)
+            ssim_val = losses.ssim(img, gt)
+            loss = (1 - loss_cfg.lambda_dssim) * ll1 + \
+                loss_cfg.lambda_dssim * (1 - ssim_val)
+            if loss_cfg.reg_on and loss_cfg.lambda_depth_normal > 0 and cfg.require_depth:
+                depth = _tiles_to_image(full["median_depth"], tiles_x, tiles_y,
+                                        camera.width, camera.height, cfg)
+                nrm = _tiles_to_image(full["normal"], tiles_x, tiles_y,
+                                      camera.width, camera.height, cfg)
+                dnormal, valid = losses.depth_to_normal(
+                    depth, camera.fx, camera.fy, camera.cx, camera.cy)
+                loss = loss + loss_cfg.lambda_depth_normal * \
+                    losses.depth_normal_loss(nrm, dnormal, valid)
+            return loss
+
+        loss, gp = jax.value_and_grad(loss_fn)(p)
+        gp = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, AXIS), gp)
+
+        def _mask(g):
+            m = aux_.alive.reshape((-1,) + (1,) * (g.ndim - 1))
+            return jnp.where(m, g, 0.0)
+        gp = jax.tree_util.tree_map(_mask, gp)
+        return loss, gp
+
+    loss, gp = run(params, aux, gt_image, bg, tile_ids)
+    params, adam = gm.adam_update(params, gp, adam, lrs)
+    return params, adam, loss

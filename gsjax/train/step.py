@@ -42,10 +42,16 @@ def train_step(params: gm.GaussianParams,
                lrs: dict[str, Any],
                cfg: RasterConfig,
                loss_cfg: LossConfig,
-               app_embedding: jax.Array | None = None):
-    """One optimisation step. Returns (params, aux, adam, metrics)."""
+               app_embedding: jax.Array | None = None,
+               app_net: dict | None = None):
+    """One optimisation step. Returns (params, aux, adam, metrics).
 
-    def loss_fn(p: gm.GaussianParams, mean2d_offset: jax.Array):
+    `metrics["app_grad"]` carries d(loss)/d(app_embedding) when an appearance
+    model is active (the caller owns the embedding table + its optimiser).
+    """
+
+    def loss_fn(p: gm.GaussianParams, mean2d_offset: jax.Array,
+                app_emb: jax.Array, app_net_: dict):
         scales, opac = gm.scaling_n_opacity_with_3d_filter(p, aux.filter_3d)
         out = render(p.xyz, scales, p.rotation, opac, gm.get_features(p),
                      camera, cfg, bg,
@@ -55,10 +61,13 @@ def train_step(params: gm.GaussianParams,
                      alive=aux.alive,
                      mean2d_offset=mean2d_offset)
         img = out["render"]
-        if loss_cfg.appearance == "gs" and app_embedding is not None:
-            ll1 = losses.l1_appearance_gs(img, gt_image, app_embedding)
-        elif loss_cfg.appearance == "pgsr" and app_embedding is not None:
-            ll1 = losses.l1_appearance_pgsr(img, gt_image, app_embedding)
+        if loss_cfg.appearance == "gs":
+            ll1 = losses.l1_appearance_gs(img, gt_image, app_emb)
+        elif loss_cfg.appearance == "pgsr":
+            ll1 = losses.l1_appearance_pgsr(img, gt_image, app_emb)
+        elif loss_cfg.appearance == "gof":
+            from gsjax.model.appearance import l1_appearance_gof
+            ll1 = l1_appearance_gof(img, gt_image, app_net_, app_emb)
         else:
             ll1 = losses.l1_loss(img, gt_image)
         ssim_val = losses.ssim(img[None].squeeze(0), gt_image)
@@ -78,9 +87,16 @@ def train_step(params: gm.GaussianParams,
         side = dict(visibility=out["visibility"], radii=out["radii"])
         return total, (metrics, side)
 
+    if app_embedding is None:
+        app_embedding = jnp.zeros((2,))
+    if app_net is None:
+        app_net = {}
     zeros2d = jnp.zeros((params.capacity, 2))
-    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
-    (_, (metrics, side)), (gp, g2d) = grad_fn(params, zeros2d)
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)
+    (_, (metrics, side)), (gp, g2d, g_app, g_net) = grad_fn(
+        params, zeros2d, app_embedding, app_net)
+    metrics["app_grad"] = g_app
+    metrics["app_net_grad"] = g_net
 
     # dead-slot math (norms at zero, etc.) can produce NaN grads; those slots
     # carry no loss so their true gradient is zero.
