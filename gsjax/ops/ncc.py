@@ -1,0 +1,135 @@
+"""Patch-warped NCC photometric consistency.
+
+Equivalent of the `warp-patch-ncc` CUDA submodule
+(warp_patch_ncc_impl.cu:18-255): for each query pixel with an estimated depth
+and normal, build the plane-induced homography
+
+    H = K_n (R - T n^T / distance) K_r^{-1},  distance = -n . (depth * K_r^{-1} uv)
+
+warp a (2R+1)^2 patch at half-pixel steps into the neighbour view, and compute
+the *squared* normalised cross-correlation between the bilinear-sampled ref
+and neighbour patches. The reference hand-codes forward-mode gradients wrt
+depth/normal; here the whole computation is a differentiable JAX function and
+autodiff supplies them.
+
+Dense formulation: operates on all pixels at once with a validity mask
+(instead of gather/compact with dynamic shapes), which is the TPU-friendly
+layout for the PatchMatch loss.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear(img, u, v):
+    """img: [H,W]; u,v: [...] pixel coords (clamped, floor/ceil weights as in
+    the CUDA kernel)."""
+    h, w = img.shape
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    u1f = u0 + 1.0
+    v1f = v0 + 1.0
+    wu1 = u - u0
+    wv1 = v - v0
+    u0i = jnp.clip(u0.astype(jnp.int32), 0, w - 1)
+    u1i = jnp.clip(u1f.astype(jnp.int32), 0, w - 1)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, h - 1)
+    v1i = jnp.clip(v1f.astype(jnp.int32), 0, h - 1)
+    c00 = img[v0i, u0i]
+    c01 = img[v0i, u1i]
+    c10 = img[v1i, u0i]
+    c11 = img[v1i, u1i]
+    return ((1 - wv1) * ((1 - wu1) * c00 + wu1 * c01)
+            + wv1 * ((1 - wu1) * c10 + wu1 * c11))
+
+
+@partial(jax.jit, static_argnames=("radius", "half_step"))
+def warp_patch_ncc(depth: jax.Array,
+                   normal: jax.Array,
+                   gray_r: jax.Array,
+                   gray_n: jax.Array,
+                   rel_rot: jax.Array,
+                   rel_t: jax.Array,
+                   intr_r: jax.Array,
+                   intr_n: jax.Array,
+                   radius: int = 3,
+                   half_step: bool = True):
+    """Dense NCC^2 over the reference image.
+
+    Args:
+      depth: [H,W] per-pixel depth in the ref view (z-depth).
+      normal: [H,W,3] camera-space unit normals (ref view).
+      gray_r/gray_n: [H,W] luma images.
+      rel_rot: [3,3] ref-cam -> neighbour-cam rotation; rel_t: [3].
+      intr_r/intr_n: (fx, fy, cx, cy).
+
+    Returns (ncc [H,W] squared correlation in [0,1], valid [H,W] bool).
+    """
+    h, w = gray_r.shape
+    hn, wn = gray_n.shape
+    fx_r, fy_r, cx_r, cy_r = intr_r
+    fx_n, fy_n, cx_n, cy_n = intr_n
+    rf = radius * (0.5 if half_step else 1.0)
+
+    u = jnp.arange(w, dtype=jnp.float32)[None, :].repeat(h, 0)
+    v = jnp.arange(h, dtype=jnp.float32)[:, None].repeat(w, 1)
+    pn = jnp.stack([(u - cx_r) / fx_r, (v - cy_r) / fy_r, jnp.ones_like(u)], -1)
+    distance = -jnp.sum(pn * normal, -1) * depth                  # [H,W]
+    dist_safe = jnp.where(jnp.abs(distance) > 1e-12, distance, 1e-12)
+
+    # H = K_n (R - T n^T / distance) K_r^{-1}, per pixel
+    # outer = T n^T: [H,W,3,3]
+    outer = rel_t[None, None, :, None] * normal[:, :, None, :]
+    hn_mat = rel_rot[None, None] - outer / dist_safe[..., None, None]
+    k_n = jnp.array([[fx_n, 0, cx_n], [0, fy_n, cy_n], [0, 0, 1.0]])
+    k_r_inv = jnp.array([[1 / fx_r, 0, -cx_r / fx_r],
+                         [0, 1 / fy_r, -cy_r / fy_r], [0, 0, 1.0]])
+    hmat = jnp.einsum("ij,hwjk,kl->hwil", k_n, hn_mat, k_r_inv,
+                      precision=jax.lax.Precision.HIGHEST)        # [H,W,3,3]
+
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    offs = offs * (0.5 if half_step else 1.0)
+    n_off = offs.shape[0]
+
+    h_uc = jnp.einsum("hwij,hwj->hwi", hmat,
+                      jnp.stack([u, v, jnp.ones_like(u)], -1),
+                      precision=jax.lax.Precision.HIGHEST)        # [H,W,3]
+
+    stats = jnp.zeros((5, h, w))
+    all_inside = ((u - rf > 0) & (u + rf < w - 1)
+                  & (v - rf > 0) & (v + rf < h - 1))
+
+    def body(carry, dv):
+        stats, all_inside = carry
+
+        def inner(carry2, du):
+            stats, all_inside = carry2
+            c_r = _bilinear(gray_r, u + du, v + dv)
+            h_uv = h_uc + du * hmat[..., :, 0] + dv * hmat[..., :, 1]
+            z = jnp.where(jnp.abs(h_uv[..., 2]) > 1e-12, h_uv[..., 2], 1e-12)
+            un = h_uv[..., 0] / z
+            vn = h_uv[..., 1] / z
+            inside = ((un - rf > 0) & (un + rf < wn - 1)
+                      & (vn - rf > 0) & (vn + rf < hn - 1))
+            c_n = _bilinear(gray_n, un, vn)
+            stats = stats + jnp.stack(
+                [c_r, c_n, c_r * c_r, c_n * c_n, c_r * c_n])
+            return (stats, all_inside & inside), None
+
+        (stats, all_inside), _ = jax.lax.scan(inner, (stats, all_inside), offs)
+        return (stats, all_inside), None
+
+    (stats, all_inside), _ = jax.lax.scan(body, (stats, all_inside), offs)
+
+    total = float(n_off * n_off)
+    s_r, s_n, s_r2, s_n2, s_rn = stats
+    cross = s_rn - s_r * s_n / total
+    var_r = s_r2 - s_r * s_r / total
+    var_n = s_n2 - s_n * s_n / total
+    ncc = cross * cross / (var_r * var_n + 1e-8)
+    valid = all_inside & (var_r > 5e-6) & (var_n > 5e-6)
+    return jnp.where(valid, ncc, 0.0), valid

@@ -1,0 +1,318 @@
+"""Training driver: the 30k-iteration loop.
+
+Mirrors `training()` (train.py:41-270): camera sampling, SH/SG degree
+schedule, densification + opacity-reset schedule, 3D-filter refresh, test
+evaluation and checkpointing — plus the capacity management that replaces the
+reference's dynamic reallocations: pair-buffer / per-tile / gaussian
+capacities are power-of-two buckets bumped (with a recompile) when high-water
+marks approach them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsjax.data.readers import SceneInfo, build_nearest_view_graph, load_scene
+from gsjax.model import appearance as app_lib
+from gsjax.model import gaussians as gm
+from gsjax.model.io import load_checkpoint, save_checkpoint, save_ply
+from gsjax.ops.knn import mean_knn_dist2
+from gsjax.ops.raster import RasterConfig, render
+from gsjax.train import losses
+from gsjax.train.step import LossConfig, train_step
+from gsjax.utils.schedules import expon_lr
+
+APPEARANCE_KINDS = {0: "no", 1: "gs", 2: "gof", 3: "pgsr"}
+
+
+def next_pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 1).bit_length()
+
+
+@dataclasses.dataclass
+class Trainer:
+    scene: SceneInfo
+    params: gm.GaussianParams
+    aux: gm.GaussianAux
+    adam: gm.AdamState
+    app: app_lib.AppearanceState
+    opt: "object"              # OptimizationParams namespace
+    model_path: str
+    kernel_size: float = 0.0
+    white_background: bool = False
+    disable_filter3d: bool = False
+    sh_degree: int = 3
+    sg_degree: int = 0
+    active_sh: int = 0
+    active_sg: int = 0
+    pair_capacity: int = 1 << 18
+    max_per_tile: int = 1 << 10
+    iteration: int = 0
+    key: jax.Array = None
+
+    @staticmethod
+    def create(scene: SceneInfo, opt, model_path, sh_degree=3, sg_degree=0,
+               kernel_size=0.0, white_background=False, disable_filter3d=False,
+               appearance="no", seed=0):
+        knn = mean_knn_dist2(scene.points)
+        capacity = next_pow2(int(scene.points.shape[0] * 1.5) + 1)
+        params, aux = gm.init_from_pcd(scene.points, scene.colors, capacity,
+                                       sh_degree, sg_degree, knn, seed=seed)
+        # per-camera max-scale clamp 0.05 * dist (scene/__init__.py:125-131)
+        scaling = np.asarray(params.scaling)
+        xyz = np.asarray(params.xyz)
+        for v in scene.train_views:
+            d = np.linalg.norm(xyz - v.camera_center[None, :], axis=1)
+            scaling = np.minimum(scaling, np.log(np.maximum(0.05 * d, 1e-12))[:, None])
+        params = dataclasses.replace(params, scaling=jnp.asarray(scaling))
+        adam = gm.adam_init(params)
+        app = app_lib.init_appearance(appearance, len(scene.train_views), seed)
+        t = Trainer(scene=scene, params=params, aux=aux, adam=adam, app=app,
+                    opt=opt, model_path=model_path, kernel_size=kernel_size,
+                    white_background=white_background,
+                    disable_filter3d=disable_filter3d,
+                    sh_degree=sh_degree, sg_degree=sg_degree,
+                    key=jax.random.PRNGKey(seed))
+        t.refresh_filter3d()
+        return t
+
+    # --- helpers -------------------------------------------------------------
+
+    def camera_stack(self):
+        views = self.scene.train_views
+        return (jnp.stack([np.asarray(v.camera.world_view) for v in views]),
+                jnp.stack([np.asarray(v.camera.fx) for v in views]),
+                jnp.stack([np.asarray(v.camera.fy) for v in views]),
+                jnp.asarray([v.width for v in views], jnp.float32),
+                jnp.asarray([v.height for v in views], jnp.float32))
+
+    def refresh_filter3d(self):
+        if self.disable_filter3d:
+            filt = jnp.zeros((self.params.capacity,))
+        else:
+            wv, fx, fy, w, h = self.camera_stack()
+            filt = gm.compute_3d_filter(self.params.xyz, self.aux.alive,
+                                        wv, fx, w, h, fy)
+        self.aux = dataclasses.replace(self.aux, filter_3d=filt)
+
+    def raster_cfg(self, require_depth: bool) -> RasterConfig:
+        return RasterConfig(
+            sh_degree=self.active_sh, sg_degree=self.active_sg,
+            kernel_size=self.kernel_size, require_depth=require_depth,
+            pair_capacity=self.pair_capacity, max_per_tile=self.max_per_tile)
+
+    def lrs(self):
+        o = self.opt
+        sp = self.scene.radius
+        return dict(
+            xyz=expon_lr(self.iteration, o.position_lr_init * sp,
+                         o.position_lr_final * sp,
+                         lr_delay_mult=o.position_lr_delay_mult,
+                         max_steps=o.position_lr_max_steps),
+            features_dc=o.feature_dc_lr, features_rest=o.feature_rest_lr,
+            opacity=o.opacity_lr, scaling=o.scaling_lr, rotation=o.rotation_lr,
+            sg_axis=o.sg_axis_lr, sg_sharpness=o.sg_sharpness_lr,
+            sg_color=o.sg_color)
+
+    def bg(self):
+        return jnp.ones(3) if self.white_background else jnp.zeros(3)
+
+    def gt_for(self, view):
+        gt = jnp.asarray(view.image)
+        if view.mask is not None:
+            m = (view.mask > 0.5).astype(np.float32)[..., None]
+            gt = gt * m + self.bg()[None, None, :] * (1 - m)
+        return gt
+
+    def monitor_capacity(self, metrics):
+        """Bump static buckets when high-water marks approach them."""
+        recompiled = False
+        npairs = int(metrics["num_pairs"])
+        if npairs > 0.85 * self.pair_capacity:
+            self.pair_capacity = next_pow2(int(npairs * 1.6))
+            recompiled = True
+        mtc = int(metrics["max_tile_count"])
+        if mtc > 0.9 * self.max_per_tile:
+            self.max_per_tile = next_pow2(int(mtc * 1.5))
+            recompiled = True
+        n_alive = int(jnp.sum(self.aux.alive))
+        if n_alive > 0.9 * self.params.capacity:
+            self.params, self.aux, self.adam = gm.grow_capacity(
+                self.params, self.aux, self.adam,
+                next_pow2(int(self.params.capacity * 1.8)))
+            recompiled = True
+        return recompiled
+
+    # --- main loop -----------------------------------------------------------
+
+    def step(self):
+        self.iteration += 1
+        it = self.iteration
+        o = self.opt
+
+        if it % 1000 == 0:
+            self.active_sh = min(self.active_sh + 1, self.sh_degree)
+            self.active_sg = self.sg_degree  # unlockSGdegree(100), train.py:127-130
+
+        view = random.choice(self.scene.train_views)
+        reg_on = it >= o.regularization_from_iter
+        near = None
+        if reg_on and view.nearest_ids and (
+                o.lambda_multi_view_ncc > 0 or o.lambda_multi_view_geo > 0):
+            near = self.scene.train_views[random.choice(view.nearest_ids)]
+        cfg = self.raster_cfg(require_depth=reg_on)
+        lcfg = LossConfig(
+            lambda_dssim=o.lambda_dssim,
+            lambda_depth_normal=o.lambda_depth_normal,
+            lambda_mv_ncc=o.lambda_multi_view_ncc,
+            lambda_mv_geo=o.lambda_multi_view_geo,
+            reg_on=reg_on, mv_on=near is not None,
+            pixel_noise_th=o.multi_view_pixel_noise_th,
+            patch_size=o.multi_view_patch_size,
+            appearance=self.app.kind)
+
+        emb = self.app.table[view.uid] if self.app.table is not None else None
+        self.params, self.aux, self.adam, metrics = train_step(
+            self.params, self.aux, self.adam, view.camera, self.gt_for(view),
+            self.bg(), self.lrs(), cfg, lcfg,
+            app_embedding=emb, app_net=self.app.net,
+            near_cam=near.camera if near is not None else None,
+            gray_r=jnp.asarray(view.gray) if near is not None else None,
+            gray_n=jnp.asarray(near.gray) if near is not None else None)
+
+        # appearance optimiser
+        if self.app.kind != "no":
+            if self.app.kind == "gs":
+                lr = expon_lr(it, o.gs_appearance_lr_init, o.gs_appearance_lr_final,
+                              lr_delay_steps=o.gs_appearance_lr_delay_steps,
+                              lr_delay_mult=o.gs_appearance_lr_delay_mult,
+                              max_steps=o.iterations)
+            elif self.app.kind == "pgsr":
+                lr = o.pgsr_appearance_lr
+            else:
+                lr = o.appearance_embeddings_lr
+            self.app = app_lib.update_table(self.app, view.uid,
+                                            metrics["app_grad"], lr)
+            if self.app.kind == "gof":
+                net, net_opt = app_lib.adam_tree(
+                    self.app.net, metrics["app_net_grad"], self.app.net_opt,
+                    o.appearance_network_lr)
+                self.app = dataclasses.replace(self.app, net=net, net_opt=net_opt)
+
+        # densification schedule (train.py:233-258)
+        if it < o.densify_until_iter:
+            if it > o.densify_from_iter and it % o.densification_interval == 0:
+                self.key, k = jax.random.split(self.key)
+                self.params, self.aux, self.adam, dstats = gm.densify_and_prune(
+                    self.params, self.aux, self.adam, k,
+                    o.densify_grad_threshold, 0.05,
+                    jnp.asarray(self.scene.radius), o.percent_dense)
+                metrics["densify"] = {k2: int(v) for k2, v in dstats.items()}
+                self.refresh_filter3d()
+            if it % o.opacity_reset_interval == 0 or (
+                    self.white_background and it == o.densify_from_iter):
+                self.params, self.adam = gm.reset_opacity(
+                    self.params, self.aux, self.adam)
+        elif it % 100 == 0 and not self.disable_filter3d and \
+                it < o.iterations - 100:
+            self.refresh_filter3d()
+
+        self.monitor_capacity(metrics)
+        return metrics
+
+    # --- eval / io -----------------------------------------------------------
+
+    def render_view(self, view, require_depth=True):
+        cfg = self.raster_cfg(require_depth)
+        scales, opac = gm.scaling_n_opacity_with_3d_filter(self.params,
+                                                           self.aux.filter_3d)
+        return render(self.params.xyz, scales, self.params.rotation, opac,
+                      gm.get_features(self.params), view.camera, cfg, self.bg(),
+                      sg_axis=gm.get_sg_axis(self.params),
+                      sg_sharpness=gm.get_sg_sharpness(self.params),
+                      sg_color=self.params.sg_color, alive=self.aux.alive)
+
+    def evaluate(self, views, max_views=None):
+        psnrs = []
+        for v in views[:max_views]:
+            out = self.render_view(v, require_depth=False)
+            img = jnp.clip(out["render"], 0, 1)
+            psnrs.append(float(losses.psnr(img, self.gt_for(v))))
+        return float(np.mean(psnrs)) if psnrs else float("nan")
+
+    def save_model(self):
+        path = os.path.join(self.model_path, "point_cloud",
+                            f"iteration_{self.iteration}", "point_cloud.ply")
+        save_ply(path, self.params, self.aux)
+
+    def save_ckpt(self):
+        extra = {}
+        if self.app.table is not None:
+            extra["app_table"] = np.asarray(self.app.table)
+        save_checkpoint(os.path.join(self.model_path, f"chkpnt{self.iteration}.npz"),
+                        self.params, self.aux, self.adam, self.iteration, extra)
+
+
+def run_training(lp, op, pp, args):
+    """Full CLI training entry (mirrors train.py:__main__ + training())."""
+    scene = load_scene(lp.source_path, lp.images, lp.masks or None,
+                       lp.eval, lp.resolution, lp.white_background)
+    build_nearest_view_graph(scene.train_views, lp.multi_view_max_angle,
+                             lp.multi_view_min_dis, lp.multi_view_max_dis,
+                             lp.multi_view_num)
+    os.makedirs(lp.model_path, exist_ok=True)
+    with open(os.path.join(lp.model_path, "multi_view.json"), "w") as f:
+        for v in scene.train_views:
+            f.write(json.dumps({"ref_name": v.image_name,
+                                "nearest_name": [scene.train_views[i].image_name
+                                                 for i in v.nearest_ids]}) + "\n")
+
+    trainer = Trainer.create(
+        scene, op, lp.model_path, sh_degree=lp.sh_degree, sg_degree=lp.sg_degree,
+        kernel_size=lp.kernel_size, white_background=lp.white_background,
+        disable_filter3d=lp.disable_filter3D,
+        appearance=APPEARANCE_KINDS[lp.use_decoupled_appearance])
+
+    if getattr(args, "start_checkpoint", None):
+        p, a, ad, it, extra = load_checkpoint(args.start_checkpoint)
+        trainer.params, trainer.aux, trainer.adam, trainer.iteration = p, a, ad, it
+        if "app_table" in extra and trainer.app.table is not None:
+            trainer.app = dataclasses.replace(
+                trainer.app, table=jnp.asarray(extra["app_table"]))
+
+    test_iters = set(getattr(args, "test_iterations", [7000, 30000]))
+    save_iters = set(getattr(args, "save_iterations", [7000, 30000]))
+    ckpt_iters = set(getattr(args, "checkpoint_iterations", [15000]))
+    test_iters.add(op.iterations)
+    save_iters.add(op.iterations)
+
+    ema = 0.0
+    t0 = time.time()
+    while trainer.iteration < op.iterations:
+        metrics = trainer.step()
+        it = trainer.iteration
+        ema = 0.4 * float(metrics["loss"]) + 0.6 * ema
+        if it % 100 == 0:
+            dt = time.time() - t0
+            print(f"[{it}] loss={ema:.4f} n={int(jnp.sum(trainer.aux.alive))} "
+                  f"pairs={int(metrics['num_pairs'])} {100/dt:.2f} it/s",
+                  flush=True)
+            t0 = time.time()
+        if it in test_iters and scene.test_views:
+            psnr = trainer.evaluate(scene.test_views)
+            print(f"[{it}] test PSNR {psnr:.3f}", flush=True)
+            with open(os.path.join(lp.model_path, f"chkpnt{it}.txt"), "w") as f:
+                f.write(f"[ITER {it}] Evaluating test: PSNR {psnr}\n")
+        if it in save_iters:
+            trainer.save_model()
+        if it in ckpt_iters:
+            trainer.save_ckpt()
+    return trainer

@@ -1,0 +1,99 @@
+"""PGSR multi-view losses: geometric reprojection + patch-warped NCC.
+
+Equivalent of `PatchMatch.__call__` (utils/loss_utils.py:140-267), dense over
+the frame with validity masks instead of gather/compact (static shapes):
+
+  1. backproject the rendered median depth to world points,
+  2. differentiably sample the neighbour view's median depth along each
+     point's neighbour-pixel ray (`sample_depth`),
+  3. reproject the sampled 3D points into the reference view; the pixel error
+     is the geometric loss (weights exp(-err), masked at pixel_noise_th),
+  4. NCC^2 of plane-warped 7x7 half-step patches between the two gray images,
+     masked where 1-ncc >= 0.9 or geometry is inconsistent.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gsjax.ops.ncc import warp_patch_ncc
+from gsjax.ops.raster.camera import Camera
+from gsjax.ops.raster.config import RasterConfig
+from gsjax.ops.sample import sample_depth
+
+
+def _invert_rigid(wv):
+    """Closed-form inverse of a [4,4] rigid world->cam matrix."""
+    r = wv[:3, :3]
+    t = wv[:3, 3]
+    inv = jnp.eye(4)
+    inv = inv.at[:3, :3].set(r.T)
+    inv = inv.at[:3, 3].set(-r.T @ t)
+    return inv
+
+
+def patchmatch_losses(median_depth: jax.Array,
+                      normal: jax.Array,
+                      means3d, scales, rotations, opacities, alive,
+                      ref_cam: Camera, near_cam: Camera,
+                      gray_r: jax.Array, gray_n: jax.Array,
+                      cfg: RasterConfig,
+                      pixel_noise_th: float = 1.0,
+                      patch_size: int = 3):
+    """Returns (ncc_loss, geo_loss) scalars."""
+    h, w = median_depth.shape
+    fx, fy, cx, cy = ref_cam.fx, ref_cam.fy, ref_cam.cx, ref_cam.cy
+
+    # 1. backproject ref median depth -> world points (loss_utils.py:146-159)
+    xs = (jnp.arange(w, dtype=jnp.float32) - cx) / fx
+    ys = (jnp.arange(h, dtype=jnp.float32) - cy) / fy
+    pts_cam = jnp.stack([median_depth * xs[None, :], median_depth * ys[:, None],
+                         median_depth], axis=-1)
+    inv_r = _invert_rigid(ref_cam.world_view)
+    pts_world = jnp.einsum("hwi,ji->hwj", pts_cam, inv_r[:3, :3],
+                           precision=jax.lax.Precision.HIGHEST) + inv_r[:3, 3]
+
+    # 2. sample the neighbour's median depth along each point's ray
+    res = sample_depth(pts_world.reshape(-1, 3), means3d, scales, rotations,
+                       opacities, near_cam, cfg, alive)
+    pts_near = res["point_cam"].reshape(h, w, 3)
+    inside = res["inside"].reshape(h, w)
+
+    # 3. reproject into the ref view
+    rel = ref_cam.world_view @ _invert_rigid(near_cam.world_view)  # near->ref
+    pts_ref = jnp.einsum("hwi,ji->hwj", pts_near, rel[:3, :3],
+                         precision=jax.lax.Precision.HIGHEST) + rel[:3, 3]
+    z = jnp.maximum(pts_ref[..., 2], 1e-7)
+    u = pts_ref[..., 0] / z * fx + cx
+    v = pts_ref[..., 1] / z * fy + cy
+    uu = jnp.arange(w, dtype=jnp.float32)[None, :]
+    vv = jnp.arange(h, dtype=jnp.float32)[:, None]
+    pixel_noise = jnp.sqrt((u - uu) ** 2 + (v - vv) ** 2 + 1e-12)
+
+    d_mask = jax.lax.stop_gradient(
+        inside & (pts_near[..., 2] > 0.2) & (pts_ref[..., 2] > 0.2)
+        & (pixel_noise < pixel_noise_th) & (median_depth > 0))
+    weights = jax.lax.stop_gradient(
+        jnp.where(d_mask, jnp.exp(-pixel_noise), 0.0))
+
+    cnt = jnp.maximum(jnp.sum(d_mask), 1)
+    geo_loss = jnp.sum(jnp.where(d_mask, weights * pixel_noise, 0.0)) / cnt
+
+    # 4. NCC over the masked pixels (dense, loss_utils.py:227-267)
+    nrm = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+    rel_rn = near_cam.world_view @ _invert_rigid(ref_cam.world_view)  # ref->near
+    cc, cc_valid = warp_patch_ncc(
+        median_depth, nrm, gray_r, gray_n,
+        rel_rn[:3, :3], rel_rn[:3, 3],
+        (fx, fy, cx, cy),
+        (near_cam.fx, near_cam.fy, near_cam.cx, near_cam.cy),
+        radius=patch_size)
+    ncc = jnp.clip(1.0 - cc, 0.0, 2.0)
+    ncc_mask = jax.lax.stop_gradient((ncc < 0.9) & cc_valid & d_mask)
+    ncnt = jnp.maximum(jnp.sum(ncc_mask), 1)
+    ncc_loss = jnp.sum(jnp.where(ncc_mask, ncc * weights, 0.0)) / ncnt
+
+    any_mask = jnp.sum(d_mask) > 0
+    return (jnp.where(any_mask, ncc_loss, 0.0),
+            jnp.where(any_mask, geo_loss, 0.0))

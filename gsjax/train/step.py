@@ -29,6 +29,9 @@ class LossConfig:
     lambda_mv_ncc: float = 0.6
     lambda_mv_geo: float = 0.02
     reg_on: bool = False          # iteration >= regularization_from_iter
+    mv_on: bool = False           # a nearest view is available
+    pixel_noise_th: float = 1.0
+    patch_size: int = 3
     appearance: str = "no"        # no | gs | pgsr | gof
 
 
@@ -43,7 +46,10 @@ def train_step(params: gm.GaussianParams,
                cfg: RasterConfig,
                loss_cfg: LossConfig,
                app_embedding: jax.Array | None = None,
-               app_net: dict | None = None):
+               app_net: dict | None = None,
+               near_cam: Camera | None = None,
+               gray_r: jax.Array | None = None,
+               gray_n: jax.Array | None = None):
     """One optimisation step. Returns (params, aux, adam, metrics).
 
     `metrics["app_grad"]` carries d(loss)/d(app_embedding) when an appearance
@@ -80,8 +86,21 @@ def train_step(params: gm.GaussianParams,
                 out["median_depth"], camera.fx, camera.fy, camera.cx, camera.cy)
             dn_loss = losses.depth_normal_loss(out["normal"], dnormal, valid)
 
-        total = rgb_loss + loss_cfg.lambda_depth_normal * dn_loss
+        ncc_loss = geo_loss = jnp.zeros(())
+        if (loss_cfg.reg_on and loss_cfg.mv_on and cfg.require_depth
+                and (loss_cfg.lambda_mv_ncc > 0 or loss_cfg.lambda_mv_geo > 0)):
+            from gsjax.train.multiview import patchmatch_losses
+            ncc_loss, geo_loss = patchmatch_losses(
+                out["median_depth"], out["normal"],
+                p.xyz, scales, p.rotation, opac, aux.alive,
+                camera, near_cam, gray_r, gray_n, cfg,
+                loss_cfg.pixel_noise_th, loss_cfg.patch_size)
+
+        total = (rgb_loss + loss_cfg.lambda_depth_normal * dn_loss
+                 + loss_cfg.lambda_mv_ncc * ncc_loss
+                 + loss_cfg.lambda_mv_geo * geo_loss)
         metrics = dict(loss=total, l1=ll1, ssim=ssim_val, dn_loss=dn_loss,
+                       ncc_loss=ncc_loss, geo_loss=geo_loss,
                        num_pairs=out["num_pairs"],
                        max_tile_count=out["max_tile_count"])
         side = dict(visibility=out["visibility"], radii=out["radii"])

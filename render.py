@@ -1,0 +1,80 @@
+"""NVS rendering CLI: render train/test splits to PNG trees.
+
+Mirrors the reference `render.py:24-65` output layout
+(<model>/{train,test}/ours_<iter>/{renders,gt}/#####.png)."""
+
+import os
+import sys
+from argparse import ArgumentParser
+
+import numpy as np
+
+
+def save_png(path, arr):
+    from PIL import Image
+
+    Image.fromarray((np.clip(np.asarray(arr), 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def render_set(model_path, name, iteration, views, render_fn):
+    renders_path = os.path.join(model_path, name, f"ours_{iteration}", "renders")
+    gts_path = os.path.join(model_path, name, f"ours_{iteration}", "gt")
+    os.makedirs(renders_path, exist_ok=True)
+    os.makedirs(gts_path, exist_ok=True)
+    for idx, view in enumerate(views):
+        out = render_fn(view)
+        save_png(os.path.join(renders_path, f"{idx:05d}.png"), out["render"])
+        save_png(os.path.join(gts_path, f"{idx:05d}.png"), view.image)
+        print(f"\r{name} {idx + 1}/{len(views)}", end="", flush=True)
+    print()
+
+
+def main():
+    from gsjax.config import ModelParams, PipelineParams, get_combined_args
+    from gsjax.data.readers import load_scene
+    from gsjax.model import gaussians as gm
+    from gsjax.model.io import load_ply
+    from gsjax.ops.raster import RasterConfig, render
+    from gsjax.utils.system import search_max_iteration
+
+    parser = ArgumentParser(description="gsjax rendering")
+    ModelParams(parser, sentinel=True)
+    PipelineParams(parser)
+    parser.add_argument("--iteration", default=-1, type=int)
+    parser.add_argument("--skip_train", action="store_true")
+    parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--quiet", action="store_true")
+    args = get_combined_args(parser)
+
+    iteration = args.iteration
+    if iteration == -1:
+        iteration = search_max_iteration(os.path.join(args.model_path, "point_cloud"))
+    params, aux = load_ply(os.path.join(args.model_path, "point_cloud",
+                                        f"iteration_{iteration}", "point_cloud.ply"))
+    scene = load_scene(args.source_path, args.images, args.masks or None,
+                       getattr(args, "eval", False), args.resolution,
+                       args.white_background)
+
+    import jax.numpy as jnp
+    bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
+    sg_deg = getattr(args, "sg_degree", 0)
+
+    def render_fn(view):
+        cfg = RasterConfig(sh_degree=args.sh_degree, sg_degree=sg_deg,
+                           kernel_size=args.kernel_size, require_depth=True,
+                           pair_capacity=1 << 22, max_per_tile=1 << 12)
+        scales, opac = gm.scaling_n_opacity_with_3d_filter(params, aux.filter_3d)
+        return render(params.xyz, scales, params.rotation, opac,
+                      gm.get_features(params), view.camera, cfg, bg,
+                      sg_axis=gm.get_sg_axis(params),
+                      sg_sharpness=gm.get_sg_sharpness(params),
+                      sg_color=params.sg_color, alive=aux.alive)
+
+    if not args.skip_train:
+        render_set(args.model_path, "train", iteration, scene.train_views, render_fn)
+    if not args.skip_test and scene.test_views:
+        render_set(args.model_path, "test", iteration, scene.test_views, render_fn)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""End-to-end mini training run through the full CLI driver machinery."""
+
+import os
+from argparse import Namespace
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsjax.model import appearance as app_lib
+from gsjax.model import gaussians as gm
+from gsjax.model.io import load_ply, save_ply
+from gsjax.train.loop import Trainer, run_training
+from tests.test_data import write_synthetic_colmap
+from tests.test_train_step import make_model
+
+
+def small_opt(iterations=24):
+    from gsjax.config import OptimizationParams
+    o = Namespace(**OptimizationParams._defaults())
+    o.iterations = iterations
+    o.densify_from_iter = 5
+    o.densify_until_iter = 20
+    o.densification_interval = 10
+    o.opacity_reset_interval = 1000
+    o.regularization_from_iter = 10_000   # keep geometry path off for speed
+    return o
+
+
+@pytest.mark.slow
+def test_run_training_end_to_end(tmp_path):
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    write_synthetic_colmap(root, n_images=5, width=64, height=32)
+
+    from gsjax.config import ModelParams
+    lp = Namespace(**ModelParams._defaults())
+    lp.source_path = root
+    lp.model_path = str(tmp_path / "out")
+    lp.eval = False
+    lp.sh_degree = 1
+    args = Namespace(test_iterations=[], save_iterations=[24],
+                     checkpoint_iterations=[24], start_checkpoint=None)
+    trainer = run_training(lp, small_opt(), None, args)
+    assert trainer.iteration == 24
+    ply = os.path.join(lp.model_path, "point_cloud", "iteration_24", "point_cloud.ply")
+    assert os.path.exists(ply)
+    p2, a2 = load_ply(ply)
+    assert int(jnp.sum(a2.alive)) == int(jnp.sum(trainer.aux.alive))
+    assert os.path.exists(os.path.join(lp.model_path, "chkpnt24.npz"))
+    assert os.path.exists(os.path.join(lp.model_path, "multi_view.json"))
+
+
+def test_model_ply_roundtrip(tmp_path):
+    params, aux = make_model(n=40, capacity=64)
+    path = str(tmp_path / "pc.ply")
+    save_ply(path, params, aux)
+    p2, a2 = load_ply(path)
+    alive = np.asarray(aux.alive)
+    np.testing.assert_allclose(np.asarray(p2.xyz)[:40],
+                               np.asarray(params.xyz)[alive], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2.features_rest)[:40],
+                               np.asarray(params.features_rest)[alive], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2.rotation)[:40],
+                               np.asarray(params.rotation)[alive], atol=1e-6)
+
+
+def test_gof_appearance_forward():
+    import jax
+    net = app_lib.init_gof_net(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 67, 4, 5))
+    y = app_lib.gof_forward(net, x)
+    assert y.shape == (1, 3, 128, 160)
+    assert float(y.min()) >= 0 and float(y.max()) <= 1
+
+    img = jax.random.uniform(jax.random.PRNGKey(2), (70, 65, 3))
+    gt = jax.random.uniform(jax.random.PRNGKey(3), (70, 65, 3))
+    emb = jnp.zeros(64)
+    val = app_lib.l1_appearance_gof(img, gt, net, emb)
+    assert np.isfinite(float(val))
+
+
+def test_update_table_moves_only_selected_row_strongly():
+    app = app_lib.init_appearance("pgsr", 4)
+    g = jnp.ones(2)
+    app2 = app_lib.update_table(app, 2, g, 0.01)
+    delta = np.abs(np.asarray(app2.table) - np.asarray(app.table)).sum(axis=1)
+    assert delta[2] > 0 and delta[0] == 0

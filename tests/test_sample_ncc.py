@@ -1,0 +1,122 @@
+"""Tests for sample_depth / integrate / NCC ops."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsjax.ops.ncc import warp_patch_ncc
+from gsjax.ops.raster import RasterConfig, render
+from gsjax.ops.sample import integrate, sample_depth
+from tests.util import look_at_camera, random_gaussians
+
+
+def scene_and_render(width=96, height=64, n=120, seed=3):
+    means, scales, q, op, shs = random_gaussians(n, seed=seed)
+    cam = look_at_camera(width=width, height=height)
+    cfg = RasterConfig(tile=32, chunk=32, tile_batch=2, pair_capacity=1 << 13,
+                       max_per_tile=256, sh_degree=1, require_depth=True)
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+            jnp.asarray(op), jnp.asarray(shs[:, :4]))
+    out = render(*args, cam, cfg, jnp.zeros(3))
+    return args, cam, cfg, out
+
+
+def test_sample_depth_self_consistency():
+    (means, scales, q, op, shs), cam, cfg, out = scene_and_render()
+    depth = np.asarray(out["median_depth"])
+    h, w = depth.shape
+    xs = (np.arange(w) - (w - 1) / 2) / float(cam.fx)
+    ys = (np.arange(h) - (h - 1) / 2) / float(cam.fy)
+    pts = np.stack([depth * xs[None, :], depth * ys[:, None], depth], -1)
+    pts = pts.reshape(-1, 3)  # identity camera: cam frame == world frame
+    sel = depth.reshape(-1) > 0.5
+    pts = pts[sel][::7]
+
+    res = sample_depth(jnp.asarray(pts.astype(np.float32)), means, scales, q, op,
+                       cam, cfg, point_batch=256)
+    sd = np.asarray(res["sampled_depth"])
+    inside = np.asarray(res["inside"])
+    assert inside.mean() > 0.8
+    ref = pts[:, 2]
+    err = np.abs(sd[inside] - ref[inside]) / ref[inside]
+    assert np.median(err) < 2e-3, f"median rel err {np.median(err)}"
+
+
+def test_sample_depth_grads_flow_to_points_and_gaussians():
+    (means, scales, q, op, shs), cam, cfg, out = scene_and_render(n=120)
+    # pick 2 surface points from the rendered depth (guaranteed in_range)
+    depth = np.asarray(out["median_depth"])
+    ys, xs = np.nonzero(depth > 1.0)
+    pick = [len(ys) // 3, 2 * len(ys) // 3]
+    pw = []
+    for i in pick:
+        y, x = ys[i], xs[i]
+        d = depth[y, x]
+        pw.append([(x - (96 - 1) / 2) / float(cam.fx) * d,
+                   (y - (64 - 1) / 2) / float(cam.fy) * d, d])
+    pts = jnp.asarray(np.array(pw, np.float32))
+
+    def loss(p, m):
+        r = sample_depth(p, m, scales, q, op, cam, cfg, point_batch=2)
+        return jnp.sum(jnp.where(r["inside"], r["sampled_depth"], 0.0))
+
+    gp, gm_ = jax.grad(loss, argnums=(0, 1))(pts, means)
+    assert np.isfinite(np.asarray(gp)).all()
+    assert np.isfinite(np.asarray(gm_)).all()
+    assert float(jnp.abs(gm_).max()) > 0
+
+
+def test_integrate_transmittance_monotone():
+    (means, scales, q, op, shs), cam, cfg, out = scene_and_render()
+    # points along the central pixel ray, front to back
+    zs = np.linspace(0.5, 8.0, 12).astype(np.float32)
+    pts = np.stack([np.zeros_like(zs), np.zeros_like(zs), zs], -1)
+    res = integrate(jnp.asarray(pts), means, scales, q, op, cam, cfg,
+                    point_batch=16)
+    t = np.asarray(res["transmittance"])
+    assert np.all(np.asarray(res["inside"]))
+    assert np.all(t >= -1e-5) and np.all(t <= 1 + 1e-5)
+    # transmittance decreases (non-strictly) with depth
+    assert np.all(np.diff(t) < 1e-3)
+    assert t[0] > 0.97          # nothing in front of 0.5
+    # behind everything, integrated alpha approaches the blended pixel alpha
+    # (the query projects to the fractional pixel (47.5, 31.5), so compare
+    # loosely against the nearest pixel)
+    alpha_img = float(np.asarray(out["alpha"])[32, 48])
+    assert abs((1 - t[-1]) - alpha_img) < 0.25
+
+
+def test_ncc_identity_is_one():
+    rng = np.random.default_rng(0)
+    gray = rng.random((48, 64)).astype(np.float32)
+    depth = jnp.full((48, 64), 2.0)
+    normal = jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (48, 64, 1))
+    intr = (50.0, 50.0, 31.5, 23.5)
+    ncc, valid = warp_patch_ncc(depth, normal, jnp.asarray(gray),
+                                jnp.asarray(gray), jnp.eye(3), jnp.zeros(3),
+                                intr, intr)
+    v = np.asarray(valid)
+    assert v.sum() > 500
+    np.testing.assert_allclose(np.asarray(ncc)[v], 1.0, atol=1e-3)
+
+
+def test_ncc_differentiable():
+    rng = np.random.default_rng(0)
+    gray_r = rng.random((32, 40)).astype(np.float32)
+    gray_n = rng.random((32, 40)).astype(np.float32)
+    intr = (40.0, 40.0, 19.5, 15.5)
+
+    def loss(depth, normal):
+        ncc, valid = warp_patch_ncc(depth, normal, jnp.asarray(gray_r),
+                                    jnp.asarray(gray_n), jnp.eye(3),
+                                    jnp.asarray([0.1, 0.0, 0.0]), intr, intr)
+        return jnp.sum(jnp.where(valid, 1 - ncc, 0.0))
+
+    d = jnp.full((32, 40), 2.0)
+    nrm = jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (32, 40, 1))
+    gd, gn = jax.grad(loss, argnums=(0, 1))(d, nrm)
+    assert np.isfinite(np.asarray(gd)).all()
+    assert np.isfinite(np.asarray(gn)).all()
+    assert float(jnp.abs(gd).max()) > 0
