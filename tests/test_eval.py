@@ -1,0 +1,76 @@
+"""Evaluation toolkit tests."""
+
+import numpy as np
+
+from gsjax.eval.dtu import (align_to_dtu, best_fit_transform, radius_downsample,
+                            sample_mesh_points)
+from gsjax.eval.tnt import (CropVolume, f1_score, icp_point2point, umeyama,
+                            voxel_downsample)
+
+
+def test_best_fit_transform_recovers_rigid():
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 1, (50, 3))
+    ang = 0.7
+    r_true = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+    t_true = np.array([1.0, -2.0, 0.5])
+    b = a @ r_true.T + t_true
+    r, t = best_fit_transform(a, b)
+    np.testing.assert_allclose(r, r_true, atol=1e-8)
+    np.testing.assert_allclose(t, t_true, atol=1e-8)
+
+
+def test_umeyama_with_scale():
+    rng = np.random.default_rng(1)
+    a = rng.normal(0, 1, (40, 3))
+    s_true = 2.5
+    r_true, t_true = best_fit_transform(a, a)[0], np.array([3.0, 0, -1])
+    b = s_true * a @ r_true.T + t_true
+    s, r, t = umeyama(a, b)
+    assert abs(s - s_true) < 1e-6
+    np.testing.assert_allclose(s * r @ a[0] + t, b[0], atol=1e-6)
+
+
+def test_icp_refines_small_offset():
+    rng = np.random.default_rng(2)
+    pts = rng.normal(0, 1, (2000, 3))
+    offset = np.array([0.02, -0.01, 0.015])
+    T = icp_point2point(pts + offset, pts, max_dist=0.2)
+    moved = (pts + offset) @ T[:3, :3].T + T[:3, 3]
+    assert np.abs(moved - pts).mean() < 0.005
+
+
+def test_f1_identical_clouds():
+    rng = np.random.default_rng(3)
+    pts = rng.normal(0, 1, (5000, 3))
+    res = f1_score(pts, pts, tau=0.05)
+    assert res["f1"] > 99.0
+
+
+def test_voxel_downsample():
+    pts = np.array([[0.0, 0, 0], [0.01, 0, 0], [1.0, 1.0, 1.0]])
+    out = voxel_downsample(pts, 0.1)
+    assert len(out) == 2
+
+
+def test_sample_mesh_points_density():
+    verts = np.array([[0, 0, 0], [2.0, 0, 0], [0, 2.0, 0]])
+    faces = np.array([[0, 1, 2]])
+    pts = sample_mesh_points(verts, faces, thresh=0.2)
+    assert len(pts) > 20
+    down = radius_downsample(pts, 0.2)
+    assert 10 < len(down) < len(pts)
+
+
+def test_crop_volume(tmp_path):
+    import json
+    p = str(tmp_path / "crop.json")
+    with open(p, "w") as f:
+        json.dump({"orthogonal_axis": "Z", "axis_min": -1, "axis_max": 1,
+                   "bounding_polygon": [[-1, -1, 0], [1, -1, 0],
+                                        [1, 1, 0], [-1, 1, 0]]}, f)
+    cv = CropVolume(p)
+    pts = np.array([[0, 0, 0], [2, 0, 0], [0, 0, 5], [0.5, -0.5, 0.5]])
+    out = cv.crop(pts)
+    assert len(out) == 2
