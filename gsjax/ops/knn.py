@@ -14,11 +14,51 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_NATIVE = None
+
+
+def _load_native():
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    try:
+        import ctypes
+
+        from gsjax.cpp.build import build_lib
+
+        so = build_lib("simple_knn", ["simple_knn.cpp"])
+        if so is None:
+            _NATIVE = False
+            return None
+        lib = ctypes.CDLL(so)
+        lib.mean_knn_dist2.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float)]
+        _NATIVE = lib
+        return lib
+    except OSError:
+        _NATIVE = False
+        return None
+
+
 def mean_knn_dist2(points: np.ndarray, k: int = 3) -> np.ndarray:
-    """[N,3] -> [N] mean squared distance to the k nearest neighbours."""
+    """[N,3] -> [N] mean squared distance to the k nearest neighbours.
+
+    Uses the native C++ KD-tree (gsjax/cpp/simple_knn.cpp) when the toolchain
+    is available, else scipy's cKDTree."""
+    import ctypes
+
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    lib = _load_native()
+    if lib is not None:
+        out = np.empty(len(pts), np.float32)
+        lib.mean_knn_dist2(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(len(pts)), ctypes.c_int(k),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
     from scipy.spatial import cKDTree
 
-    pts = np.asarray(points, dtype=np.float32)
     tree = cKDTree(pts)
     d, _ = tree.query(pts, k=k + 1, workers=-1)   # first hit is the point itself
     return np.mean(d[:, 1:] ** 2, axis=1).astype(np.float32)

@@ -8,6 +8,12 @@ log(1-alpha) along the gaussian axis, so the whole chunk is data-parallel on
 the VPU/MXU and the backward pass falls out of autodiff (no hand-written
 warp reductions / atomics as in render_backward.cu:21-53,1035-1065).
 
+Work skipping without dynamic shapes: tiles are processed in count-sorted
+batches and every chunk step is guarded by a *scalar* `lax.cond` on the batch
+max count — a batch of near-empty tiles runs zero chunk bodies (forward and
+backward), which recovers most of the CUDA early-exit behaviour inside static
+XLA control flow.
+
 Blend semantics match the CUDA kernel exactly:
   - skip if power > 0 or alpha < 1/255         (render_forward.cu:487-497)
   - alpha = min(0.99, opacity * exp(power))
@@ -91,8 +97,6 @@ def prepare_pairs(prep: Preprocessed, binning: Binning, cfg: RasterConfig) -> ja
         [feats_pairs, jnp.zeros((cfg.chunk, _F), feats_pairs.dtype)], axis=0)
 
 
-@partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable,
-         static_argnums=(7,))
 def _chunk_blend(carry, feats_pairs, base_rel, start, count, px, py,
                  cfg: RasterConfig):
     """Blend one [chunk] slice of a tile's sorted gaussian list into the
@@ -127,42 +131,137 @@ def _chunk_blend(carry, feats_pairs, base_rel, start, count, px, py,
     return (log_t, c_acc, n_acc, last_idx, md_init)
 
 
-def blend_tile(feats_pairs, tile_id, start, count, tiles_x, cfg: RasterConfig,
-               bg, width, height, fx, fy):
-    """Full blend (+ optional median depth) for one tile. Returns per-pixel dict."""
+def blend_tiles_batch(feats_pairs, tile_ids, starts, counts, tiles_x,
+                      cfg: RasterConfig, bg, width, height, fx, fy):
+    """Blend a batch of tiles. tile_ids/starts/counts: [B]. Returns dict of
+    [B, P(, C)] per-pixel outputs. Chunk steps beyond the batch max count are
+    skipped via a scalar lax.cond (fwd AND bwd)."""
+    b = tile_ids.shape[0]
     p = cfg.pixels_per_tile
     chunk = cfg.chunk
     n_chunks = -(-cfg.max_per_tile // chunk)
-    px, py = _tile_pixels(tile_id, tiles_x, cfg)
-    carry = (jnp.zeros((p,)), jnp.zeros((p, 3)), jnp.zeros((p, 3)),
-             jnp.full((p,), -1, jnp.int32), jnp.zeros((p,)))
 
-    def step(c_, c):
-        return _chunk_blend(c_, feats_pairs, c * chunk, start, count, px, py, cfg), None
+    pxs, pys = jax.vmap(lambda t: _tile_pixels(t, tiles_x, cfg))(tile_ids)
+    bmax = jnp.max(counts)
 
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_chunks, dtype=jnp.int32))
+    carry0 = (jnp.zeros((b, p)), jnp.zeros((b, p, 3)), jnp.zeros((b, p, 3)),
+              jnp.full((b, p), -1, jnp.int32), jnp.zeros((b, p)))
+
+    @partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
+    def step(carry, c):
+        def do(cr):
+            return jax.vmap(
+                lambda cr_, s, cnt, px, py: _chunk_blend(
+                    cr_, feats_pairs, c * chunk, s, cnt, px, py, cfg)
+            )(cr, starts, counts, pxs, pys)
+        return jax.lax.cond(c * chunk < bmax, do, lambda cr: cr, carry), None
+
+    carry, _ = jax.lax.scan(step, carry0, jnp.arange(n_chunks, dtype=jnp.int32))
     log_t, c_acc, n_acc, last_idx, md_init = carry
     t_final = jnp.exp(log_t)
     out = dict(
-        color=c_acc + t_final[:, None] * bg[None, :],
+        color=c_acc + t_final[..., None] * bg[None, None, :],
         alpha=1.0 - t_final,
         n_contrib=(last_idx + 1).astype(jnp.int32),
-        normal=jnp.where((last_idx >= 0)[:, None],
-                         n_acc / jnp.maximum(1.0 - t_final, 1e-12)[:, None],
+        normal=jnp.where((last_idx >= 0)[..., None],
+                         n_acc / jnp.maximum(1.0 - t_final, 1e-12)[..., None],
                          0.0),
     )
     if cfg.require_depth:
-        out["median_depth"] = _median_depth(
-            feats_pairs, start, last_idx + 1, md_init, t_final,
-            px, py, width, height, fx, fy, cfg)
+        out["median_depth"] = _median_depth_batch(
+            feats_pairs, starts, last_idx + 1, md_init, t_final, pxs, pys,
+            width, height, fx, fy, cfg)
     else:
-        out["median_depth"] = jnp.zeros((p,))
+        out["median_depth"] = jnp.zeros((b, p))
     return out
+
+
+def _median_depth_batch(feats_pairs, starts, n_contrib, md_init, t_final,
+                        pxs, pys, width, height, fx, fy, cfg: RasterConfig):
+    """SPLIT-way transmittance bisection for T(t*)=0.5 (render_forward.cu:535-645),
+    batched over tiles with scalar-cond chunk skipping."""
+    b, p = md_init.shape
+    chunk = cfg.chunk
+    n_chunks = -(-cfg.max_per_tile // chunk)
+    s_pts = cfg.split + 1
+
+    in_range = t_final <= cfg.min_transmittance
+    d_min = jnp.maximum(md_init - cfg.sample_range, 0.0)
+    d_max = jnp.maximum(md_init + cfg.sample_range, 0.0)
+    # CUDA bisection revisits only entries below the tile's max contributor
+    bmax = jnp.max(n_contrib)
+
+    def chunk_log_tp(log_tp, c, start, n_con, px, py, ts):
+        """One tile, one chunk. ts: [P, S]; log_tp: [P, S]."""
+        base = start + c * chunk
+        feats = jax.lax.dynamic_slice(feats_pairs, (base, 0), (chunk, _F))
+        rel = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        entry_valid = rel < n_con.max()
+        a, passes, dx, dy = _alpha_terms(feats, px, py, cfg, entry_valid)
+        applied = passes & (rel[:, None] < n_con[None, :])
+        a = jnp.where(applied, a, 0.0)
+        t_peak = feats[:, 9:10] * dx + feats[:, 10:11] * dy + feats[:, 11:12]
+        rsig = feats[:, 12:13]                                   # [C,1]
+        contrib = []
+        for s in range(s_pts):
+            tss = ts[None, :, s]                                 # [1,P]
+            delta = (tss - t_peak) * rsig
+            g = jnp.where(rsig > 0, jnp.exp(-0.5 * delta * delta), 0.0)
+            one_minus = jnp.maximum(1.0 - a * g, 1e-12)
+            log_factor = jnp.where(
+                tss > t_peak,
+                jnp.log1p(-a) - 0.5 * jnp.log(one_minus),
+                0.5 * jnp.log(one_minus),
+            )
+            contrib.append(jnp.sum(log_factor * applied, axis=0))
+        return log_tp + jnp.stack(contrib, axis=-1)
+
+    def eval_tp(d_min, d_max):
+        interval = (d_max - d_min) / cfg.split
+        ts = d_min[..., None] + interval[..., None] * \
+            jnp.arange(s_pts, dtype=jnp.float32)
+
+        @partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
+        def step(log_tp, c):
+            def do(lt):
+                return jax.vmap(
+                    lambda lt_, s, nc, px, py, t: chunk_log_tp(lt_, c, s, nc, px, py, t)
+                )(lt, starts, n_contrib, pxs, pys, ts)
+            return jax.lax.cond(c * chunk < bmax, do, lambda lt: lt, log_tp), None
+
+        log_tp, _ = jax.lax.scan(step, jnp.zeros((b, p, s_pts)),
+                                 jnp.arange(n_chunks, dtype=jnp.int32))
+        return jnp.exp(log_tp), interval
+
+    t0 = t1 = None
+    for it in range(cfg.split_iterations):
+        tp, interval = eval_tp(d_min, d_max)
+        if it == 0:
+            in_range = in_range & (tp[..., 0] >= 0.5) & (tp[..., cfg.split] <= 0.5)
+        # last s in [1, SPLIT-1] with T>=0.5, else 0 (render_forward.cu:627-631)
+        sid = jnp.zeros((b, p), jnp.int32)
+        for s in range(1, cfg.split):
+            sid = jnp.where(tp[..., s] >= 0.5, s, sid)
+        d_max = d_min + (sid + 1).astype(jnp.float32) * interval
+        d_min = d_min + sid.astype(jnp.float32) * interval
+        t0 = jnp.take_along_axis(tp, sid[..., None], axis=-1)[..., 0]
+        t1 = jnp.take_along_axis(tp, (sid + 1)[..., None], axis=-1)[..., 0]
+
+    denom = t0 - t1
+    w_max = jnp.clip((t0 - 0.5) / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20),
+                     0.0, 1.0)
+    m_depth = jnp.where(in_range, w_max * d_max + (1.0 - w_max) * d_min, 0.0)
+
+    # ray distance -> z depth (render_forward.cu:421-422, 656)
+    pnx = (pxs - (width - 1) / 2.0) / fx
+    pny = (pys - (height - 1) / 2.0) / fy
+    rln = jax.lax.rsqrt(pnx * pnx + pny * pny + 1.0)
+    return m_depth * rln
 
 
 def render_tiles(prep: Preprocessed, binning: Binning, camera: Camera,
                  cfg: RasterConfig, bg: jax.Array):
-    """Blend all tiles. Returns dict of [H,W,*] images."""
+    """Blend all tiles (count-sorted batches). Returns dict of [H,W,*] images."""
     tiles_x, tiles_y = cfg.grid(camera.width, camera.height)
     num_tiles = tiles_x * tiles_y
 
@@ -171,103 +270,39 @@ def render_tiles(prep: Preprocessed, binning: Binning, camera: Camera,
     num_batches = -(-num_tiles // cfg.tile_batch)
     t_pad = num_batches * cfg.tile_batch
     tile_ids = jnp.arange(t_pad, dtype=jnp.int32)
-    starts = jnp.where(tile_ids < num_tiles, binning.tile_start[jnp.minimum(tile_ids, num_tiles - 1)], 0)
-    counts = jnp.where(tile_ids < num_tiles, binning.tile_count[jnp.minimum(tile_ids, num_tiles - 1)], 0)
+    in_b = tile_ids < num_tiles
+    safe = jnp.minimum(tile_ids, num_tiles - 1)
+    starts = jnp.where(in_b, binning.tile_start[safe], 0)
+    counts = jnp.where(in_b, binning.tile_count[safe], 0)
 
-    def batch_body(_, b):
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, b * cfg.tile_batch, cfg.tile_batch)
+    # heavy tiles first so each batch is roughly homogeneous in count
+    order = jnp.argsort(-counts)
+    inv_order = jnp.argsort(order)
+    tile_ids_s = tile_ids[order]
+    starts_s = starts[order]
+    counts_s = counts[order]
 
-        def one_tile(tile_id, start, count):
-            return blend_tile(feats_pairs, tile_id, start, count, tiles_x, cfg,
-                              bg, camera.width, camera.height, camera.fx, camera.fy)
-
-        return None, jax.vmap(one_tile)(sl(tile_ids), sl(starts), sl(counts))
+    def batch_body(_, bidx):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, bidx * cfg.tile_batch,
+                                                    cfg.tile_batch)
+        return None, blend_tiles_batch(
+            feats_pairs, sl(tile_ids_s), sl(starts_s), sl(counts_s), tiles_x,
+            cfg, bg, camera.width, camera.height, camera.fx, camera.fy)
 
     _, outs = jax.lax.scan(batch_body, None, jnp.arange(num_batches))
-    # outs leaves: [num_batches, tile_batch, P, ...] -> images
-    return {k: _assemble(v, tiles_x, tiles_y, camera.width, camera.height, cfg)
-            for k, v in outs.items()}
+    # outs leaves: [num_batches, tile_batch, P, ...]; undo count sort
+    def fix(v):
+        v = v.reshape((t_pad,) + v.shape[2:])[inv_order]
+        return _assemble(v, tiles_x, tiles_y, camera.width, camera.height, cfg)
 
-
-def _median_depth(feats_pairs, start, n_contrib, md_init, t_final, px, py,
-                  width, height, fx, fy, cfg: RasterConfig):
-    """SPLIT-way transmittance bisection for T(t*)=0.5 (render_forward.cu:535-645)."""
-    p = px.shape[0]
-    chunk = cfg.chunk
-    n_chunks = -(-cfg.max_per_tile // chunk)
-    s_pts = cfg.split + 1
-
-    in_range = t_final <= cfg.min_transmittance
-    d_min = jnp.maximum(md_init - cfg.sample_range, 0.0)
-    d_max = jnp.maximum(md_init + cfg.sample_range, 0.0)
-
-    @partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
-    def chunk_log_tp(log_tp, base_rel, ts):
-        """ts: [P, S] sample depths; accumulates [P, S] log-transmittance."""
-        base = start + base_rel
-        feats = jax.lax.dynamic_slice(feats_pairs, (base, 0), (chunk, _F))
-        rel = base_rel + jnp.arange(chunk, dtype=jnp.int32)
-        entry_valid = rel < jnp.max(n_contrib)
-        a, passes, dx, dy = _alpha_terms(feats, px, py, cfg, entry_valid)
-        applied = passes & (rel[:, None] < n_contrib[None, :])
-        a = jnp.where(applied, a, 0.0)
-        t_peak = feats[:, 9:10] * dx + feats[:, 10:11] * dy + feats[:, 11:12]
-        rsig = feats[:, 12:13]                                   # [C,1]
-        contrib = jnp.zeros_like(log_tp)
-        for s in range(s_pts):
-            tss = ts[None, :, s]                                 # [1,P]
-            delta = (tss - t_peak) * rsig
-            g = jnp.where(rsig > 0, jnp.exp(-0.5 * delta * delta), 0.0)
-            one_minus = 1.0 - a * g
-            log_factor = jnp.where(
-                tss > t_peak,
-                jnp.log1p(-a) - 0.5 * jnp.log(jnp.maximum(one_minus, 1e-12)),
-                0.5 * jnp.log(jnp.maximum(one_minus, 1e-12)),
-            )
-            contrib = contrib.at[:, s].set(jnp.sum(log_factor * applied, axis=0))
-        return log_tp + contrib
-
-    def eval_tp(d_min, d_max):
-        interval = (d_max - d_min) / cfg.split
-        ts = d_min[:, None] + interval[:, None] * jnp.arange(s_pts, dtype=jnp.float32)[None, :]
-
-        def step(log_tp, c):
-            return chunk_log_tp(log_tp, c * chunk, ts), None
-
-        log_tp, _ = jax.lax.scan(step, jnp.zeros((p, s_pts)), jnp.arange(n_chunks, dtype=jnp.int32))
-        return jnp.exp(log_tp), interval
-
-    t0 = t1 = None
-    for it in range(cfg.split_iterations):
-        tp, interval = eval_tp(d_min, d_max)
-        if it == 0:
-            in_range = in_range & (tp[:, 0] >= 0.5) & (tp[:, cfg.split] <= 0.5)
-        # last s in [1, SPLIT-1] with T>=0.5, else 0 (render_forward.cu:627-631)
-        sid = jnp.zeros((p,), jnp.int32)
-        for s in range(1, cfg.split):
-            sid = jnp.where(tp[:, s] >= 0.5, s, sid)
-        d_max = d_min + (sid + 1).astype(jnp.float32) * interval
-        d_min = d_min + sid.astype(jnp.float32) * interval
-        t0 = jnp.take_along_axis(tp, sid[:, None], axis=1)[:, 0]
-        t1 = jnp.take_along_axis(tp, (sid + 1)[:, None], axis=1)[:, 0]
-
-    denom = t0 - t1
-    w_max = jnp.clip((t0 - 0.5) / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20), 0.0, 1.0)
-    m_depth = jnp.where(in_range, w_max * d_max + (1.0 - w_max) * d_min, 0.0)
-
-    # ray distance -> z depth (render_forward.cu:421-422, 656)
-    pnx = (px - (width - 1) / 2.0) / fx
-    pny = (py - (height - 1) / 2.0) / fy
-    rln = jax.lax.rsqrt(pnx * pnx + pny * pny + 1.0)
-    return m_depth * rln
+    return {k: fix(v) for k, v in outs.items()}
 
 
 def _assemble(v, tiles_x, tiles_y, width, height, cfg: RasterConfig):
-    """[num_batches, B, P(, C)] tile blocks -> [H, W(, C)] image."""
+    """[T_pad, P(, C)] tile blocks -> [H, W(, C)] image."""
     t = cfg.tile
-    nb = v.shape[0] * v.shape[1]
-    ch = v.shape[3:] if v.ndim > 3 else ()
-    v = v.reshape((nb,) + v.shape[2:])[: tiles_x * tiles_y]
+    ch = v.shape[2:] if v.ndim > 2 else ()
+    v = v[: tiles_x * tiles_y]
     v = v.reshape((tiles_y, tiles_x, t, t) + ch)
     v = jnp.moveaxis(v, 2, 1).reshape((tiles_y * t, tiles_x * t) + ch)
     return v[:height, :width]

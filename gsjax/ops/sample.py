@@ -237,6 +237,50 @@ def sample_depth(points: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("cfg", "point_batch"))
+def evaluate_sdf(points: jax.Array,
+                 means3d, scales, rotations, opacities,
+                 camera: Camera, cfg: RasterConfig,
+                 alive=None, point_batch: int = 4096):
+    """Single-view SDF: median ray depth at the point's pixel minus the
+    point's own ray depth (evaluateSDFCUDA, sample_forward.cu:171-428; bound
+    as `evaluate_sdf_from_signle_view` in ext.cpp:18).
+    Returns dict(sdf [Q], depth [Q] median ray distance, inside [Q])."""
+    q = points.shape[0]
+    cfg = dataclasses.replace(cfg, sh_degree=0, sg_degree=0)
+    shs = jnp.zeros((means3d.shape[0], 1, 3))
+    prep = preprocess(means3d, scales, rotations, opacities, shs,
+                      None, None, None, camera, cfg, alive)
+    binning = bin_gaussians(prep, cfg, camera.width, camera.height)
+    feats_pairs = render_ref.prepare_pairs(prep, binning, cfg)
+
+    px, py, t_ray, inside0 = _project_points(points, camera, cfg)
+    tile = _point_tile(px, py, camera, cfg)
+    start = binning.tile_start[tile]
+    count = jnp.where(inside0, binning.tile_count[tile], 0)
+
+    pad = (-q) % point_batch
+    def padded(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+    n_batches = (q + pad) // point_batch
+    arrs = tuple(map(padded, (start, count, px, py)))
+
+    def one_point(s, c, x, y):
+        m = _march(feats_pairs, s, c, x, y, cfg)
+        md, in_range = _bisect_point(feats_pairs, s, m["n_contrib"],
+                                     m["md_init"], m["t_final"], x, y, cfg)
+        return md, in_range
+
+    def batch(_, b):
+        sl = lambda z: jax.lax.dynamic_slice_in_dim(z, b * point_batch, point_batch)
+        return None, jax.vmap(one_point)(*map(sl, arrs))
+
+    _, (md, in_r) = jax.lax.scan(batch, None, jnp.arange(n_batches))
+    md = md.reshape(-1)[:q]
+    in_r = in_r.reshape(-1)[:q]
+    return dict(sdf=md - t_ray, depth=md, inside=in_r & inside0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "point_batch"))
 def integrate(points: jax.Array,
               means3d, scales, rotations, opacities,
               camera: Camera, cfg: RasterConfig,

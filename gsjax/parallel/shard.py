@@ -58,23 +58,28 @@ def _render_local_tiles(prep, binning, camera: Camera, cfg: RasterConfig,
     starts = jnp.where(in_bounds, binning.tile_start[safe_ids], 0)
     counts = jnp.where(in_bounds, binning.tile_count[safe_ids], 0)
 
-    def one_tile(tile_id, start, count):
-        out = render_ref.blend_tile(feats, tile_id, start, count, tiles_x, cfg,
-                                    bg, camera.width, camera.height,
-                                    camera.fx, camera.fy)
-        out.pop("n_contrib")
-        return out
-
-    # small tile batches bound peak memory
+    # small tile batches bound peak memory; count-sort within the device
     bs = min(cfg.tile_batch, t_local)
     nb = -(-t_local // bs)
+    pad = nb * bs - t_local
+    def padded(x):
+        return jnp.pad(x, (0, pad))
+    safe_p, starts_p, counts_p = padded(safe_ids), padded(starts), padded(counts)
+    order = jnp.argsort(-counts_p)
+    inv_order = jnp.argsort(order)
+    safe_p, starts_p, counts_p = safe_p[order], starts_p[order], counts_p[order]
 
     def batch(_, b):
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, b * bs, bs)
-        return None, jax.vmap(one_tile)(sl(safe_ids), sl(starts), sl(counts))
+        out = render_ref.blend_tiles_batch(
+            feats, sl(safe_p), sl(starts_p), sl(counts_p), tiles_x, cfg, bg,
+            camera.width, camera.height, camera.fx, camera.fy)
+        out.pop("n_contrib")
+        return None, out
 
     _, outs = jax.lax.scan(batch, None, jnp.arange(nb))
-    return {k: v.reshape((nb * bs,) + v.shape[2:])[:t_local] for k, v in outs.items()}
+    return {k: v.reshape((nb * bs,) + v.shape[2:])[inv_order][:t_local]
+            for k, v in outs.items()}
 
 
 def _tiles_to_image(tiles, tiles_x, tiles_y, width, height, cfg: RasterConfig):
