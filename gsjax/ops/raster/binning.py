@@ -30,6 +30,7 @@ from gsjax.ops.raster.preprocess import Preprocessed
 @dataclasses.dataclass(frozen=True)
 class Binning:
     gauss_idx: jax.Array    # [K] int32 gaussian index per sorted pair (padding -> 0)
+    tile_of_pair: jax.Array  # [K] int32 tile id per sorted pair (padding -> T)
     pair_valid: jax.Array   # [K] bool
     tile_start: jax.Array   # [T] int32 offset of each tile's slice
     tile_count: jax.Array   # [T] int32 number of pairs in each tile
@@ -72,6 +73,7 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
 
     return Binning(
         gauss_idx=sorted_g,
+        tile_of_pair=sorted_tile,
         pair_valid=p_ids < jnp.minimum(total, k),
         tile_start=tile_start,
         tile_count=tile_count,
