@@ -16,11 +16,50 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from gsjax.ops.raster import render_ref
+from gsjax.ops.raster import render_pallas, render_ref
 from gsjax.ops.raster.binning import bin_gaussians
 from gsjax.ops.raster.camera import Camera
 from gsjax.ops.raster.config import RasterConfig
 from gsjax.ops.raster.preprocess import preprocess
+
+
+def _use_pallas(cfg: RasterConfig) -> bool:
+    if cfg.backend == "ref":
+        return False
+    if cfg.backend == "pallas":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _render_tiles_pallas(prep, binning, camera: Camera, cfg: RasterConfig,
+                         bg: jax.Array):
+    """Hand-written Pallas fwd+bwd blend; returns the render_ref image dict."""
+    tiles_x, tiles_y = cfg.grid(camera.width, camera.height)
+    n_tiles = tiles_x * tiles_y
+    interpret = jax.default_backend() != "tpu"
+    feats = render_ref.prepare_pairs(prep, binning, cfg)
+    feats_t = render_pallas.pack_features_t(feats, cfg)
+    cam_params = jnp.concatenate([
+        jnp.asarray([camera.fx, camera.fy], jnp.float32),
+        bg.astype(jnp.float32).reshape(3),
+        jnp.asarray([camera.width, camera.height, 0.0], jnp.float32)])
+    out = render_pallas.blend_pallas(
+        feats_t, binning.tile_start, binning.tile_count, cam_params, cfg,
+        tiles_x, n_tiles, interpret)
+
+    def img(rows, grad=True):
+        v = rows if grad else jax.lax.stop_gradient(rows)
+        return render_ref._assemble(
+            jnp.moveaxis(v, 1, -1) if v.ndim == 3 else v,
+            tiles_x, tiles_y, camera.width, camera.height, cfg)
+
+    return {
+        "color": img(out[:, 0:3, :]),
+        "normal": img(out[:, 3:6, :]),
+        "alpha": img(out[:, 6, :]),
+        "median_depth": img(out[:, 7, :]),
+        "n_contrib": img(out[:, 8, :], grad=False).astype(jnp.int32),
+    }
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -56,7 +95,10 @@ def render(means3d: jax.Array,
     if mean2d_offset is not None:
         prep = dataclasses.replace(prep, mean2d=prep.mean2d + mean2d_offset)
     binning = bin_gaussians(prep, cfg, camera.width, camera.height)
-    images = render_ref.render_tiles(prep, binning, camera, cfg, bg)
+    if _use_pallas(cfg):
+        images = _render_tiles_pallas(prep, binning, camera, cfg, bg)
+    else:
+        images = render_ref.render_tiles(prep, binning, camera, cfg, bg)
     return {
         "render": images["color"],
         "alpha": images["alpha"],

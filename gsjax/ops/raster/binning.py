@@ -87,11 +87,31 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
     tile_start = bounds[:-1]
     tile_count = bounds[1:] - bounds[:-1]
 
+    # --- re-lay pairs so every tile slice starts on an `align` boundary ------
+    # The Pallas blend/backward kernels DMA each tile's slice as a statically
+    # lane-aligned window; alignment makes per-tile windows disjoint so the
+    # backward can write per-pair gradients without cross-tile accumulation.
+    # Aligned total is always <= total + num_tiles*align <= k_al, so this can
+    # never overflow (capacity monitoring stays on `total` vs pair_capacity).
+    align = cfg.align
+    k_al = k + num_tiles * align
+    start_al = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(-(-tile_count // align) * align).astype(jnp.int32)[:-1]])
+    ok = pair_valid & (sorted_tile < num_tiles)
+    tile_safe = jnp.minimum(sorted_tile, num_tiles - 1)
+    dest = jnp.where(ok, start_al[tile_safe] + (p_ids - tile_start[tile_safe]),
+                     k_al)
+    g_al = jnp.zeros((k_al,), jnp.int32).at[dest].set(sorted_g, mode="drop")
+    valid_al = jnp.zeros((k_al,), jnp.bool_).at[dest].set(ok, mode="drop")
+    tile_al = jnp.full((k_al,), num_tiles, jnp.int32).at[dest].set(
+        sorted_tile, mode="drop")
+
     return Binning(
-        gauss_idx=sorted_g,
-        tile_of_pair=sorted_tile,
-        pair_valid=p_ids < jnp.minimum(total, k),
-        tile_start=tile_start,
+        gauss_idx=g_al,
+        tile_of_pair=tile_al,
+        pair_valid=valid_al,
+        tile_start=start_al,
         tile_count=tile_count,
         num_pairs=total.astype(jnp.int32),
         max_tile_count=jnp.max(tile_count),

@@ -28,6 +28,12 @@ class RasterConfig:
     pair_capacity: int = 1 << 20
     # Static cap on gaussians blended per tile (chunk-scan trip count).
     max_per_tile: int = 1 << 12
+    # Tile-slice alignment in the pair buffer (lane width of the Pallas
+    # kernels; per-tile windows are disjoint multiples of this).
+    align: int = 128
+    # Blend backend: "ref" = pure-XLA autodiff path, "pallas" = hand-written
+    # fwd+bwd TPU kernels, "auto" = pallas on TPU, ref elsewhere.
+    backend: str = "auto"
 
     # Appearance (active degrees are trace-time constants as in the reference's
     # raster settings).

@@ -1,25 +1,37 @@
-"""Pallas TPU tile-blend kernel (fast forward path).
+"""Pallas TPU tile-blend kernels (hand-written forward + backward).
 
-Replaces the XLA reference blend (`render_ref.blend_tiles_batch`) for the hot
-path. Design notes:
+Replaces the XLA autodiff blend (`render_ref`) on the hot path. The CUDA
+reference (render_forward.cu:391-671, render_backward.cu:716-1069) gives one
+thread per pixel marching the tile's depth-sorted gaussian list; on TPU the
+same math is re-laid as [G=128 gaussian sublanes, P=1024 pixel lanes] chunks:
 
-  - The sorted pair payload is stored feature-major [16, K] so the minor dim
-    is lane-packed (a [K,16] array is 8x padded by TPU (8,128) tiling).
-  - Each grid step (one 32x32 tile) DMAs its slice of the sorted array into
-    VMEM, double-buffered across tiles. Tile ranges start at arbitrary
-    offsets; the DMA starts at the previous 128 boundary and the first/last
-    chunks mask the out-of-range lanes, so all lane slices are statically
-    128-aligned.
-  - The sequential transmittance recurrence (render_forward.cu:455-533) is a
-    lane-wise shifted-multiply cumulative *product* of (1-alpha) — no log/exp
-    round trip; products that underflow past the 1e-4 stop threshold are
-    frozen exactly like the CUDA early-exit.
-  - The 5x SPLIT-way median-depth bisection (render_forward.cu:535-645) re-
-    traverses the VMEM-resident list; factors accumulate as products with
-    rsqrt, no transcendental logs.
+  - One [16, G] -> [G, 16] transpose matmul per chunk turns the lane-major
+    feature rows into per-gaussian columns; `power`, `t_val` and alpha are
+    then direct VPU math in exact f32 (no quadratic expansion).
+  - The sequential transmittance recurrence (render_forward.cu:455-533)
+    becomes a strict-lower-triangular [G,G] matmul prefix-sum of log(1-a)
+    plus a per-pixel carry across chunks; a tile-level early exit stops the
+    chunk loop once every pixel saturates (T < 1e-4), matching the CUDA
+    per-pixel break at tile granularity.
+  - Color/normal accumulation and all per-gaussian gradient reductions are
+    lane contractions on the MXU (replacing warp reductions + atomicAdd,
+    render_backward.cu:21-53, 1035-1065).
+  - The median-depth search (render_forward.cu:535-645) runs as a binary
+    search (3*split_iterations bits == the reference's SPLIT^iterations
+    resolution) over the transmittance model T(t); its backward is the
+    implicit-function derivative at the root (render_backward.cu:835-880)
+    -- which the float64 oracle shows is *more* accurate than autodiff
+    through the finite bisection (tests/test_pallas.py).
 
-Output [T, P, 16] channels: 0-2 color, 3-5 normal, 6 alpha, 7 median depth
-(z), 8 n_contrib, 9 md_init, 10 T_final (9-10 are backward-pass residuals).
+All f32 matmuls force >= HIGH precision: the MXU default single bf16 pass
+loses ~3 decimal digits, which breaks both transmittance and gradients.
+
+Tile slices in the pair buffer are 128-aligned (binning.py), so every DMA
+window is statically lane-aligned and backward tile blocks are disjoint.
+
+Forward output is [T, 16, P] rows: 0-2 color, 3-5 normal, 6 alpha,
+7 median z-depth, 8 n_contrib, 9 md_init, 10 T_final, 11 in_range,
+12-15 zero (9-11 are backward residuals).
 """
 
 from __future__ import annotations
@@ -28,236 +40,600 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gsjax.ops.raster.config import RasterConfig
 
-_F = 16        # payload rows (render_ref._pack_features layout)
-CHUNK = 128    # lane-aligned processing width
+_F = 16   # payload rows (render_ref._pack_features layout)
+G = 128   # gaussians per chunk == tile-slice alignment
+
+_f32 = jnp.float32
+_HP = jax.lax.Precision.HIGHEST
+_H3 = jax.lax.Precision.HIGHEST  # Mosaic supports only DEFAULT / HIGHEST
 
 
 def pack_features_t(feats_pairs: jax.Array, cfg: RasterConfig) -> jax.Array:
-    """[K,16] sorted pair features -> [16, K_pad] feature-major, padded so any
-    aligned window [start_al, start_al + max_per_tile + CHUNK) is in range."""
+    """[K_al, 16] sorted pair features -> [16, K_pad] feature-major, padded so
+    the fixed [16, max_per_tile] DMA window of the last tile is in range."""
     k = feats_pairs.shape[0]
-    pad = cfg.max_per_tile + 2 * CHUNK + ((-k) % CHUNK)
-    ft = feats_pairs.T
-    return jnp.pad(ft, ((0, 0), (0, pad)))
+    pad = cfg.max_per_tile + ((-k) % G)
+    return jnp.pad(feats_pairs.T, ((0, 0), (0, pad)))
 
 
-def _cumprod_lanes(x, length: int):
-    """Inclusive cumprod along the lane axis via shifted multiplies."""
-    shift = 1
-    while shift < length:
-        pad = jnp.ones(x.shape[:1] + (shift,), x.dtype)
-        x = x * jnp.concatenate([pad, x[:, :-shift]], axis=1)
-        shift *= 2
-    return x
+def _dot(a, b, contract=((0,), (0,)), prec=_H3):
+    return jax.lax.dot_general(
+        a, b, (contract, ((), ())), precision=prec, preferred_element_type=_f32)
 
 
-def _blend_kernel(starts_ref, counts_ref, cam_ref, feats_hbm, out_ref,
-                  list_buf, sem, *, cfg: RasterConfig, tiles_x: int,
-                  n_tiles: int):
+def _mm(a, b, prec=_H3):  # [M,K] @ [K,N]
+    return jax.lax.dot_general(
+        a, b, ((((1,), (0,))), ((), ())), precision=prec,
+        preferred_element_type=_f32)
+
+
+def _tri_strict():
+    """[G,G] strict lower-triangular ones (prefix-sum operator)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    return (c < r).astype(_f32)
+
+
+def _eye16():
+    return (jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 0) ==
+            jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 1)).astype(_f32)
+
+
+def _pixel_rows(t, tiles_x, cfg: RasterConfig):
+    """Global pixel coordinate rows [1, P] of tile t."""
+    tile = cfg.tile
+    p = cfg.pixels_per_tile
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    tx = (t % tiles_x) * tile
+    ty = (t // tiles_x) * tile
+    px = (tx + lin % tile).astype(_f32)
+    py = (ty + lin // tile).astype(_f32)
+    return px, py
+
+
+class _Chunk:
+    """Per-chunk gaussian columns + pixel-interaction terms."""
+
+    __slots__ = ("cols", "dx", "dy", "power", "t_val", "o")
+
+    def __init__(self, buf, c, px, py, eye):
+        o = pl.multiple_of(c * G, G)
+        self.o = o
+        cols = _dot(buf[:, pl.ds(o, G)], eye)          # [G, 16]
+        self.cols = cols
+        dx = cols[:, 0:1] - px                          # [G, P]
+        dy = cols[:, 1:2] - py
+        ca, cb, cc = cols[:, 2:3], cols[:, 3:4], cols[:, 4:5]
+        self.power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        self.t_val = cols[:, 9:10] * dx + cols[:, 10:11] * dy + cols[:, 11:12]
+        self.dx, self.dy = dx, dy
+
+    def col(self, i):
+        return self.cols[:, i:i + 1]
+
+    def alpha(self, cfg: RasterConfig, rel, count):
+        a_raw = self.col(5) * jnp.exp(jnp.minimum(self.power, 0.0))
+        alpha = jnp.minimum(cfg.alpha_clamp, a_raw)
+        passes = (self.power <= 0.0) & (alpha >= cfg.alpha_min) & (rel < count)
+        return jnp.where(passes, alpha, 0.0), a_raw, passes
+
+
+def _rel_ids(c):
+    return c * G + jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+
+
+def _col_sum(x):
+    """[G, P] -> [G, 1] per-gaussian pixel reduction."""
+    return jnp.sum(x, axis=1, keepdims=True)
+
+
+def _median_model(ch: _Chunk, a, ts):
+    """Half-gaussian CDF log-factors at depths ts (render_forward.cu:610-620).
+    Returns (lf [G,P], hg, om, behind)."""
+    rsig = ch.col(12)
+    delta = (ts - ch.t_val) * rsig
+    hg = jnp.where(rsig > 0, jnp.exp(-0.5 * delta * delta), 0.0)
+    om = jnp.maximum(1.0 - a * hg, 1e-12)
+    behind = ts > ch.t_val
+    lf = jnp.where(behind, jnp.log1p(-a) - 0.5 * jnp.log(om), 0.5 * jnp.log(om))
+    return lf, hg, om, behind, delta, rsig
+
+
+def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
+                   flags, cfg: RasterConfig):
+    """Binary-search T(t*)=0.5 (render_forward.cu:535-645 at equal
+    resolution). Returns (m_t ray-distance median, in_range [1,P]).
+
+    Varying-chunk culling: one prepass classifies every chunk against the
+    per-pixel search bracket. A gaussian fully behind the bracket
+    (t_peak + 5 sigma < d_min) contributes the constant log1p(-a); fully
+    ahead contributes ~0; only chunks containing a gaussian whose CDF varies
+    over the bracket are re-traversed by the 17 bisection evaluations
+    (`flags` is an SMEM scratch of per-chunk booleans)."""
+    zero = jnp.zeros_like(md_init)
+    max_contrib = jnp.max(n_contrib)
+    nc_chunks = (max_contrib + G - 1) // G
+    d_min = jnp.maximum(md_init - cfg.sample_range, 0.0)
+    d_max = jnp.maximum(md_init + cfg.sample_range, 0.0)
+
+    def pre_body(c, lf_const):
+        ch = _Chunk(buf, c, px, py, eye)
+        rel = _rel_ids(c)
+        a, _, passes = ch.alpha(cfg, rel, count)
+        applied = passes & (rel < n_contrib)
+        a = jnp.where(applied, a, 0.0)
+        rsig = ch.col(12)
+        margin = jnp.where(rsig > 0, 5.0 / jnp.where(rsig > 0, rsig, 1.0), 0.0)
+        behind_all = applied & (ch.t_val + margin < d_min)
+        ahead_all = ch.t_val - margin > d_max
+        varying = applied & ~behind_all & ~ahead_all
+        flags[c] = jnp.any(varying).astype(jnp.int32)
+        return lf_const + jnp.sum(
+            jnp.where(behind_all, jnp.log1p(-a), 0.0), axis=0, keepdims=True)
+
+    lf_const = jax.lax.fori_loop(0, nc_chunks, pre_body, zero)
+
+    def eval_t(ts):
+        def body(c, log_tp):
+            def live(log_tp):
+                ch = _Chunk(buf, c, px, py, eye)
+                rel = _rel_ids(c)
+                a, _, passes = ch.alpha(cfg, rel, count)
+                applied = passes & (rel < n_contrib)
+                a = jnp.where(applied, a, 0.0)
+                # in a varying chunk, fully-behind gaussians are already in
+                # lf_const; mask them out of the exact evaluation
+                rsig = ch.col(12)
+                margin = jnp.where(rsig > 0,
+                                   5.0 / jnp.where(rsig > 0, rsig, 1.0), 0.0)
+                behind_all = ch.t_val + margin < d_min
+                lf, *_ = _median_model(ch, a, ts)
+                lf = jnp.where(applied & ~behind_all, lf, 0.0)
+                return log_tp + jnp.sum(lf, axis=0, keepdims=True)
+            return jax.lax.cond(flags[c] != 0, live, lambda x: x, log_tp)
+        return jnp.exp(lf_const +
+                       jax.lax.fori_loop(0, nc_chunks, body, zero))
+
+    t_lo = eval_t(d_min)
+    t_hi = eval_t(d_max)
+    in_range = (t_final <= cfg.min_transmittance) & (t_lo >= 0.5) & (t_hi <= 0.5)
+
+    def bisect(_, carry):
+        d_min, d_max, t_lo, t_hi = carry
+        mid = 0.5 * (d_min + d_max)
+        t_mid = eval_t(mid)
+        right = t_mid >= 0.5
+        return (jnp.where(right, mid, d_min), jnp.where(right, d_max, mid),
+                jnp.where(right, t_mid, t_lo), jnp.where(right, t_hi, t_mid))
+
+    n_bits = 3 * cfg.split_iterations
+    d_min, d_max, t_lo, t_hi = jax.lax.fori_loop(
+        0, n_bits, bisect, (d_min, d_max, t_lo, t_hi))
+    denom = t_lo - t_hi
+    w = jnp.clip((t_lo - 0.5) / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20),
+                 0.0, 1.0)
+    m_t = jnp.where(in_range, w * d_max + (1.0 - w) * d_min, 0.0)
+    return m_t, in_range
+
+
+def _ray_to_z(px, py, fx, fy, width, height):
+    pnx = (px - (width - 1.0) / 2.0) / fx
+    pny = (py - (height - 1.0) / 2.0) / fy
+    return jax.lax.rsqrt(pnx * pnx + pny * pny + 1.0)
+
+
+def _start_copy(feats_hbm, starts_ref, list_buf, sem, tile_idx, slot, mpt):
+    start = pl.multiple_of(starts_ref[tile_idx], G)
+    return pltpu.make_async_copy(
+        feats_hbm.at[:, pl.ds(start, mpt)], list_buf.at[slot], sem.at[slot])
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_hbm, out_ref,
+                list_buf, sem, flags, *, cfg: RasterConfig, tiles_x: int,
+                n_tiles: int):
     t = pl.program_id(0)
     p = cfg.pixels_per_tile
     mpt = cfg.max_per_tile
-    buf_w = mpt + CHUNK
-    # cam_ref (SMEM f32): [fx, fy, bg0, bg1, bg2, width, height, pad]
     fx, fy = cam_ref[0], cam_ref[1]
     width, height = cam_ref[5], cam_ref[6]
-
-    # --- double-buffered tile-list DMA (aligned window) ----------------------
-    def copy_op(tile_idx, slot):
-        start_al = pl.multiple_of((starts_ref[tile_idx] // CHUNK) * CHUNK, CHUNK)
-        src = feats_hbm.at[:, pl.ds(start_al, buf_w)]
-        return pltpu.make_async_copy(src, list_buf.at[slot], sem.at[slot])
+    log_tmin = _f32(np.log(cfg.transmittance_min))
 
     @pl.when(t == 0)
     def _():
-        copy_op(0, 0).start()
+        _start_copy(feats_hbm, starts_ref, list_buf, sem, 0, 0, mpt).start()
 
     @pl.when(t + 1 < n_tiles)
     def _():
-        copy_op(t + 1, (t + 1) % 2).start()
+        _start_copy(feats_hbm, starts_ref, list_buf, sem, t + 1,
+                    (t + 1) % 2, mpt).start()
 
-    copy_op(t, t % 2).wait()
-    buf = list_buf.at[t % 2]                # [16, buf_w] VMEM ref
+    _start_copy(feats_hbm, starts_ref, list_buf, sem, t, t % 2, mpt).wait()
+    buf = list_buf.at[t % 2]                     # [16, mpt]
     count = counts_ref[t]
-    start = starts_ref[t]
-    off = start % CHUNK                     # first `off` lanes belong elsewhere
 
-    tile = cfg.tile
-    tx = (t % tiles_x) * tile
-    ty = (t // tiles_x) * tile
-    lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = (tx + lin % tile).astype(jnp.float32)          # [P,1]
-    py = (ty + lin // tile).astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    px, py = _pixel_rows(t, tiles_x, cfg)
+    eye = _eye16()
+    tri = _tri_strict()
+    n_chunks = (count + G - 1) // G
 
-    def col(i, c):
-        o = pl.multiple_of(c * CHUNK, CHUNK)
-        return buf[i:i + 1, pl.ds(o, CHUNK)]            # [1,CHUNK]
-
-    def alpha_terms(c, rel):
-        gx, gy = col(0, c), col(1, c)
-        ca, cb, cc = col(2, c), col(3, c), col(4, c)
-        op = col(5, c)
-        dx = gx - px                                     # [P,CHUNK]
-        dy = gy - py
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(cfg.alpha_clamp, op * jnp.exp(jnp.minimum(power, 0.0)))
-        passes = (power <= 0.0) & (alpha >= cfg.alpha_min) & \
-            (rel >= 0) & (rel < count)
-        a = jnp.where(passes, alpha, 0.0)
-        return a, passes, dx, dy
-
-    # chunk c covers sorted positions [start_al + c*CHUNK, +CHUNK);
-    # rel = position - start in [-off, mpt)
-    n_chunks = (off + count + CHUNK - 1) // CHUNK
-
-    def main_body(c, carry):
-        t_run, c0, c1, c2, n0, n1, n2, last_idx, md_init = carry
-        rel = c * CHUNK + lane - off
-        a, passes, dx, dy = alpha_terms(c, rel)
-        one_m = 1.0 - a
-        cum = _cumprod_lanes(one_m, CHUNK)               # inclusive
-        t_incl = t_run * cum
-        keep = t_incl >= cfg.transmittance_min
-        t_prev = t_incl / one_m                          # exclusive (a<=0.99)
+    def body(carry):
+        c, log_t, acc, last_idx, md_init = carry
+        ch = _Chunk(buf, c, px, py, eye)
+        rel = _rel_ids(c)
+        a, _, passes = ch.alpha(cfg, rel, count)
+        l1m = jnp.log1p(-a)
+        exc = _mm(tri, l1m)                      # exclusive prefix
+        keep = (log_t + exc + l1m) >= log_tmin
+        t_prev = jnp.exp(log_t + exc)
         w = a * t_prev * keep
-        c0 = c0 + jnp.sum(w * col(6, c), 1, keepdims=True)
-        c1 = c1 + jnp.sum(w * col(7, c), 1, keepdims=True)
-        c2 = c2 + jnp.sum(w * col(8, c), 1, keepdims=True)
-        n0 = n0 + jnp.sum(w * col(13, c), 1, keepdims=True)
-        n1 = n1 + jnp.sum(w * col(14, c), 1, keepdims=True)
-        n2 = n2 + jnp.sum(w * col(15, c), 1, keepdims=True)
+        cn = jnp.concatenate(
+            [ch.cols[:, 6:9], ch.cols[:, 13:16]], axis=1)   # [G, 6]
+        acc = acc + _dot(cn, w, ((0,), (0,)))                # [6, P]
         applied = passes & keep
-        if cfg.require_depth:
-            t_val = col(9, c) * dx + col(10, c) * dy + col(11, c)
-            cond = applied & (t_prev > 0.5)
-            best = jnp.max(jnp.where(cond, rel, -1), 1, keepdims=True)   # [P,1]
-            md_new = jnp.max(jnp.where(rel == best, t_val, -jnp.inf), 1,
-                             keepdims=True)
-            md_init = jnp.where(best >= 0, md_new, md_init)
-        last_idx = jnp.maximum(last_idx, jnp.max(jnp.where(applied, rel, -1), 1,
-                                                 keepdims=True))
-        # product over kept factors == cum at the last kept lane; since cum is
-        # non-increasing and keep is a prefix mask, that's the min of the
-        # keep-masked cumprod (Mosaic has no reduce_prod).
-        t_run = t_run * jnp.min(jnp.where(keep, cum, 1.0), 1, keepdims=True)
-        return (t_run, c0, c1, c2, n0, n1, n2, last_idx, md_init)
+        cond = applied & (t_prev > 0.5)
+        best = jnp.max(jnp.where(cond, rel, -1), axis=0, keepdims=True)
+        md_new = jnp.max(jnp.where(rel == best, ch.t_val, -jnp.inf), axis=0,
+                         keepdims=True)
+        md_init = jnp.where(best >= 0, md_new, md_init)
+        last_idx = jnp.maximum(
+            last_idx, jnp.max(jnp.where(applied, rel, -1), axis=0, keepdims=True))
+        log_t = log_t + jnp.sum(l1m * keep, axis=0, keepdims=True)
+        return (c + 1, log_t, acc, last_idx, md_init)
 
-    zero = jnp.zeros((p, 1), jnp.float32)
-    init = (jnp.ones((p, 1), jnp.float32), zero, zero, zero, zero, zero, zero,
-            jnp.full((p, 1), -1, jnp.int32), zero)
-    (t_final, c0, c1, c2, n0, n1, n2, last_idx, md_init) = jax.lax.fori_loop(
-        0, n_chunks, main_body, init)
+    def cond_fn(carry):
+        c, log_t = carry[0], carry[1]
+        return (c < n_chunks) & (jnp.max(log_t) >= log_tmin)
 
+    row0 = jnp.zeros((1, p), _f32)
+    init = (jnp.int32(0), row0, jnp.zeros((6, p), _f32),
+            jnp.full((1, p), -1, jnp.int32), row0)
+    _, log_t, acc, last_idx, md_init = jax.lax.while_loop(cond_fn, body, init)
+
+    t_final = jnp.exp(log_t)
     inv_om = 1.0 / jnp.maximum(1.0 - t_final, 1e-12)
     has = last_idx >= 0
     n_contrib = last_idx + 1
 
-    out_ref[0, :, 0:1] = c0 + t_final * cam_ref[2]
-    out_ref[0, :, 1:2] = c1 + t_final * cam_ref[3]
-    out_ref[0, :, 2:3] = c2 + t_final * cam_ref[4]
-    out_ref[0, :, 3:4] = jnp.where(has, n0 * inv_om, 0.0)
-    out_ref[0, :, 4:5] = jnp.where(has, n1 * inv_om, 0.0)
-    out_ref[0, :, 5:6] = jnp.where(has, n2 * inv_om, 0.0)
-    out_ref[0, :, 6:7] = 1.0 - t_final
-    out_ref[0, :, 8:9] = n_contrib.astype(jnp.float32)
-    out_ref[0, :, 9:10] = md_init
-    out_ref[0, :, 10:11] = t_final
-    out_ref[0, :, 11:16] = jnp.zeros((p, 5), jnp.float32)
+    out_ref[0, 0:1, :] = acc[0:1] + t_final * cam_ref[2]
+    out_ref[0, 1:2, :] = acc[1:2] + t_final * cam_ref[3]
+    out_ref[0, 2:3, :] = acc[2:3] + t_final * cam_ref[4]
+    out_ref[0, 3:6, :] = jnp.where(has, acc[3:6] * inv_om, 0.0)
+    out_ref[0, 6:7, :] = 1.0 - t_final
+    out_ref[0, 8:9, :] = n_contrib.astype(_f32)
+    out_ref[0, 9:10, :] = md_init
+    out_ref[0, 10:11, :] = t_final
+    out_ref[0, 12:16, :] = jnp.zeros((4, p), _f32)
 
-    # --- median-depth search (render_forward.cu:535-645) ----------------------
-    # The CUDA kernel bisects SPLIT=8-way for 5 iterations (2^15 resolution);
-    # since T(ts) is monotone decreasing, plain binary search reaches the same
-    # root at the same resolution with ~2.6x fewer full-list evaluations.
     if cfg.require_depth:
-        n_bits = 3 * cfg.split_iterations            # same resolution as 8^5
-        in_range = t_final <= cfg.min_transmittance
-        d_min = jnp.maximum(md_init - cfg.sample_range, 0.0)
-        d_max = jnp.maximum(md_init + cfg.sample_range, 0.0)
-        max_contrib = jnp.max(last_idx) + 1
-        nc_chunks = (off + max_contrib + CHUNK - 1) // CHUNK
-
-        def eval_t_at(ts):
-            """Half-gaussian CDF transmittance at depths ts [P,1]."""
-            def chunk_body(c, log_tp):
-                rel = c * CHUNK + lane - off
-                a, passes, dx, dy = alpha_terms(c, rel)
-                applied = passes & (rel < n_contrib)
-                a = jnp.where(applied, a, 0.0)
-                t_peak = col(9, c) * dx + col(10, c) * dy + col(11, c)
-                rsig = col(12, c)
-                delta = (ts - t_peak) * rsig
-                g = jnp.where(rsig > 0, jnp.exp(-0.5 * delta * delta), 0.0)
-                om = jnp.maximum(1.0 - a * g, 1e-12)
-                lf = jnp.where(ts > t_peak, jnp.log1p(-a) - 0.5 * jnp.log(om),
-                               0.5 * jnp.log(om))
-                lf = jnp.where(applied, lf, 0.0)
-                return log_tp + jnp.sum(lf, 1, keepdims=True)
-
-            return jnp.exp(jax.lax.fori_loop(0, nc_chunks, chunk_body, zero))
-
-        t_lo = eval_t_at(d_min)
-        t_hi = eval_t_at(d_max)
-        in_range = in_range & (t_lo >= 0.5) & (t_hi <= 0.5)
-
-        def bisect_body(_, carry):
-            d_min, d_max, t_lo, t_hi = carry
-            mid = 0.5 * (d_min + d_max)
-            t_mid = eval_t_at(mid)
-            go_right = t_mid >= 0.5
-            d_min = jnp.where(go_right, mid, d_min)
-            t_lo = jnp.where(go_right, t_mid, t_lo)
-            d_max = jnp.where(go_right, d_max, mid)
-            t_hi = jnp.where(go_right, t_hi, t_mid)
-            return (d_min, d_max, t_lo, t_hi)
-
-        d_min, d_max, t_lo, t_hi = jax.lax.fori_loop(
-            0, n_bits, bisect_body, (d_min, d_max, t_lo, t_hi))
-
-        denom = t_lo - t_hi
-        w_max = jnp.clip((t_lo - 0.5) / jnp.where(jnp.abs(denom) > 1e-20, denom,
-                                                  1e-20), 0.0, 1.0)
-        m_depth = jnp.where(in_range, w_max * d_max + (1.0 - w_max) * d_min, 0.0)
-        pnx = (px - (width - 1.0) / 2.0) / fx
-        pny = (py - (height - 1.0) / 2.0) / fy
-        rln = jax.lax.rsqrt(pnx * pnx + pny * pny + 1.0)
-        out_ref[0, :, 7:8] = m_depth * rln
+        m_t, in_range = _median_search(buf, px, py, eye, n_contrib, count,
+                                       t_final, md_init, flags, cfg)
+        rln = _ray_to_z(px, py, fx, fy, width, height)
+        out_ref[0, 7:8, :] = m_t * rln
+        out_ref[0, 11:12, :] = in_range.astype(_f32)
     else:
-        out_ref[0, :, 7:8] = zero
+        out_ref[0, 7:8, :] = row0
+        out_ref[0, 11:12, :] = row0
 
 
-@partial(jax.jit, static_argnames=("cfg", "tiles_x", "n_tiles", "interpret"))
-def blend_all_tiles(feats_t: jax.Array, starts: jax.Array, counts: jax.Array,
-                    cam_params: jax.Array, cfg: RasterConfig, tiles_x: int,
-                    n_tiles: int, interpret: bool = False):
-    """Run the Pallas blend for all tiles.
-
-    feats_t: [16, K_pad] from `pack_features_t`.
-    cam_params: [8] f32 = [fx, fy, bg0, bg1, bg2, width, height, 0].
-    Returns [T, P, 16] (see module docstring for channel layout)."""
+def _fwd_call(feats_t, starts, counts, cam_params, cfg: RasterConfig,
+              tiles_x: int, n_tiles: int, interpret: bool):
     p = cfg.pixels_per_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, p, _F), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, _F, p), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, _F, cfg.max_per_tile + CHUNK), jnp.float32),
+            pltpu.VMEM((2, _F, cfg.max_per_tile), _f32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((cfg.max_per_tile // G,), jnp.int32),
         ],
     )
-    kernel = partial(_blend_kernel, cfg=cfg, tiles_x=tiles_x, n_tiles=n_tiles)
+    kernel = partial(_fwd_kernel, cfg=cfg, tiles_x=tiles_x, n_tiles=n_tiles)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, p, _F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, _F, p), _f32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(starts, counts, cam_params, feats_t)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_hbm, res_ref, g_ref,
+                dout_hbm, list_buf, sem, dbuf, dsem, *, cfg: RasterConfig,
+                tiles_x: int, n_tiles: int):
+    """Gradients w.r.t. the per-pair features of one tile.
+
+    res_ref/g_ref: [1, 16, P] forward output block and its cotangent.
+    dout_hbm: [16, K_pad] feature-major grads (same layout as feats); each
+    chunk's [16, G] block is DMA'd straight to its (aligned, disjoint)
+    slice — no regather pass.
+    """
+    t = pl.program_id(0)
+    p = cfg.pixels_per_tile
+    mpt = cfg.max_per_tile
+    fx, fy = cam_ref[0], cam_ref[1]
+    width, height = cam_ref[5], cam_ref[6]
+    bg0, bg1, bg2 = cam_ref[2], cam_ref[3], cam_ref[4]
+    log_tmin = _f32(np.log(cfg.transmittance_min))
+
+    @pl.when(t == 0)
+    def _():
+        _start_copy(feats_hbm, starts_ref, list_buf, sem, 0, 0, mpt).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _start_copy(feats_hbm, starts_ref, list_buf, sem, t + 1,
+                    (t + 1) % 2, mpt).start()
+
+    _start_copy(feats_hbm, starts_ref, list_buf, sem, t, t % 2, mpt).wait()
+    buf = list_buf.at[t % 2]
+    count = counts_ref[t]
+
+    px, py = _pixel_rows(t, tiles_x, cfg)
+    eye = _eye16()
+    tri = _tri_strict()
+    start = starts_ref[t]
+
+    def d_copy(c, slot):
+        dst = dout_hbm.at[:, pl.ds(pl.multiple_of(start + c * G, G), G)]
+        return pltpu.make_async_copy(dbuf.at[slot], dst, dsem.at[slot])
+
+    # --- per-pixel rows from residuals + cotangents --------------------------
+    res = res_ref[0]                                # [16, P]
+    g = g_ref[0]
+    t_final = res[10:11, :]
+    n_contrib = res[8:9, :].astype(jnp.int32)
+    has = (n_contrib > 0).astype(_f32)
+    inv_om = 1.0 / jnp.maximum(1.0 - t_final, 1e-12)
+    gc = g[0:3, :]                                  # dL/dcolor rows
+    gn_eff = g[3:6, :] * has * inv_om               # dL/dn_acc rows
+    ga = g[6:7, :]
+    bg_gc = bg0 * gc[0:1] + bg1 * gc[1:2] + bg2 * gc[2:3]
+    color_acc = jnp.concatenate([
+        res[0:1, :] - t_final * bg0,
+        res[1:2, :] - t_final * bg1,
+        res[2:3, :] - t_final * bg2], axis=0)
+    n_acc = res[3:6, :] * jnp.maximum(1.0 - t_final, 1e-12)  # = acc[3:6]
+    # total dL/dT_final (direct terms)
+    gamma = -ga + bg_gc + \
+        inv_om * inv_om * jnp.sum(g[3:6, :] * has * n_acc, axis=0, keepdims=True)
+    s_q = jnp.sum(gc * color_acc, axis=0, keepdims=True) + \
+        jnp.sum(gn_eff * n_acc, axis=0, keepdims=True)
+    gcgn = jnp.concatenate([gc, gn_eff], axis=0)    # [6, P]
+
+    n_chunks = (count + G - 1) // G
+
+    # --- median-depth: dL/dm_t and the implicit-function denominator --------
+    if cfg.require_depth:
+        in_range = res[11:12, :]
+        rln = _ray_to_z(px, py, fx, fy, width, height)
+        m_t = res[7:8, :] / rln
+        gm = g[7:8, :] * rln * in_range             # dL/dm_t
+        max_contrib = jnp.max(n_contrib)
+        nc_chunks = (max_contrib + G - 1) // G
+
+        def d_body(c, acc_d):
+            ch = _Chunk(buf, c, px, py, eye)
+            rel = _rel_ids(c)
+            a, _, passes = ch.alpha(cfg, rel, count)
+            applied = passes & (rel < n_contrib)
+            a = jnp.where(applied, a, 0.0)
+            _, hg, om, behind, delta, rsig = _median_model(ch, a, m_t)
+            sgn = jnp.where(behind, 1.0, -1.0)
+            # d lf/dt = sgn * 0.5*a/om * dg/dt,  dg/dt = -hg*delta*rsig
+            d_t = sgn * 0.5 * (a / om) * (-hg * delta * rsig)
+            return acc_d + jnp.sum(jnp.where(applied, d_t, 0.0), axis=0,
+                                   keepdims=True)
+
+        d_denom = jax.lax.fori_loop(0, nc_chunks, d_body,
+                                    jnp.zeros((1, p), _f32))
+        s_pix = jnp.where(jnp.abs(d_denom) > 1e-20, -gm / d_denom, 0.0)
+        s_pix = s_pix * in_range
+    else:
+        m_t = jnp.zeros((1, p), _f32)
+        s_pix = jnp.zeros((1, p), _f32)
+        nc_chunks = 0
+
+    # --- main gradient traversal ---------------------------------------------
+    def body(carry):
+        c, log_t, pq_carry = carry
+        ch = _Chunk(buf, c, px, py, eye)
+        rel = _rel_ids(c)
+        a, a_raw, passes = ch.alpha(cfg, rel, count)
+        l1m = jnp.log1p(-a)
+        exc = _mm(tri, l1m)
+        keep = (log_t + exc + l1m) >= log_tmin
+        t_prev = jnp.exp(log_t + exc)
+        w = a * t_prev * keep
+        applied = passes & keep
+        inv_1ma = 1.0 / (1.0 - a)                    # a <= 0.99
+
+        # blend gradient: q_i = c_i.gc + inv*(n_i.gn)
+        cn = jnp.concatenate(
+            [ch.cols[:, 6:9], ch.cols[:, 13:16]], axis=1)   # [G, 6]
+        q = _dot(cn, gcgn, ((1,), (0,)))             # [G, P]
+        wq = _mm(tri, w * q) + w * q + pq_carry      # inclusive prefix + carry
+        d_a = t_prev * q - inv_1ma * ((s_q - wq) + t_final * gamma)
+        d_a = jnp.where(applied, d_a, 0.0)
+
+        # median-depth gradient terms (same traversal; mask rel < n_contrib)
+        if cfg.require_depth:
+            m_applied = passes & (rel < n_contrib)
+            am = jnp.where(m_applied, a, 0.0)
+            _, hg, om, behind, delta, rsig = _median_model(ch, am, m_t)
+            sgn = jnp.where(behind, 1.0, -1.0)
+            half_r = 0.5 / om
+            dlf_da = jnp.where(behind, -1.0 / (1.0 - am) + half_r * hg,
+                               -half_r * hg)
+            dlf_dg = sgn * half_r * am
+            d_a = d_a + jnp.where(m_applied, s_pix * dlf_da, 0.0)
+            # dg/dtp = hg*delta*rsig ; dg/drsig = -hg*delta^2/rsig
+            d_tp = jnp.where(m_applied, s_pix * dlf_dg * hg * delta * rsig, 0.0)
+            d_rsig_gp = jnp.where(
+                m_applied & (rsig > 0),
+                s_pix * dlf_dg * (-hg * delta * delta /
+                                  jnp.where(rsig > 0, rsig, 1.0)),
+                0.0)
+            d_rsig = _col_sum(d_rsig_gp)
+        else:
+            d_tp = jnp.zeros_like(d_a)
+            d_rsig = jnp.zeros((G, 1), _f32)
+
+        # chain alpha -> power / opacity
+        notclamped = a_raw < cfg.alpha_clamp
+        d_pow = jnp.where(notclamped, d_a * a, 0.0)
+        expp = jnp.exp(jnp.minimum(ch.power, 0.0))
+        d_op = _col_sum(jnp.where(notclamped, d_a * expp, 0.0))
+
+        # chain power/t_val -> raw features, reducing over pixels
+        dx, dy = ch.dx, ch.dy
+        ca, cb, cc = ch.col(2), ch.col(3), ch.col(4)
+        rp0, rp1 = ch.col(9), ch.col(10)
+        d_ca = _col_sum(d_pow * (-0.5 * dx * dx))
+        d_cc = _col_sum(d_pow * (-0.5 * dy * dy))
+        d_cb = _col_sum(d_pow * (-dx * dy))
+        d_gx = _col_sum(d_pow * (-(ca * dx + cb * dy)) + d_tp * rp0)
+        d_gy = _col_sum(d_pow * (-(cc * dy + cb * dx)) + d_tp * rp1)
+        d_rp0 = _col_sum(d_tp * dx)
+        d_rp1 = _col_sum(d_tp * dy)
+        d_tc = _col_sum(d_tp)
+        d_cn = _dot(w, gcgn, ((1,), (1,)))           # [G, 6] color/normal
+
+        d_all = jnp.concatenate([
+            d_gx, d_gy, d_ca, d_cb, d_cc, d_op, d_cn[:, 0:3],
+            d_rp0, d_rp1, d_tc, d_rsig, d_cn[:, 3:6]], axis=1)   # [G, 16]
+
+        slot = c % 2
+        @pl.when(c >= 2)
+        def _():
+            d_copy(c - 2, slot).wait()
+        dbuf[slot] = _dot(eye, d_all, ((1,), (1,)))              # [16, G]
+        d_copy(c, slot).start()
+
+        log_t = log_t + jnp.sum(l1m * keep, axis=0, keepdims=True)
+        pq_carry = pq_carry + jnp.sum(w * q, axis=0, keepdims=True)
+        return (c + 1, log_t, pq_carry)
+
+    def cond_fn(carry):
+        c, log_t = carry[0], carry[1]
+        # same early exit as the forward: past full saturation every gradient
+        # is zero (keep=False and rel >= n_contrib)
+        return (c < n_chunks) & (jnp.max(log_t) >= log_tmin)
+
+    row0 = jnp.zeros((1, p), _f32)
+    c_end, _, _ = jax.lax.while_loop(cond_fn, body, (jnp.int32(0), row0, row0))
+
+    # drain in-flight stores, then zero-fill early-exited chunks (their pairs
+    # are real slots of this tile whose gradients are identically zero)
+    @pl.when(c_end >= 2)
+    def _():
+        d_copy(c_end - 2, c_end % 2).wait()
+
+    @pl.when(c_end >= 1)
+    def _():
+        d_copy(c_end - 1, (c_end - 1) % 2).wait()
+
+    def zfill(c, acc):
+        slot = c % 2
+        @pl.when(c >= c_end + 2)
+        def _():
+            d_copy(c - 2, slot).wait()
+        dbuf[slot] = jnp.zeros((_F, G), _f32)
+        d_copy(c, slot).start()
+        return acc
+
+    jax.lax.fori_loop(c_end, n_chunks, zfill, 0)
+
+    @pl.when(n_chunks > c_end)
+    def _():
+        d_copy(n_chunks - 1, (n_chunks - 1) % 2).wait()
+
+    @pl.when(n_chunks > c_end + 1)
+    def _():
+        d_copy(n_chunks - 2, (n_chunks - 2) % 2).wait()
+
+
+def _bwd_call(feats_t, starts, counts, cam_params, res, g_out,
+              cfg: RasterConfig, tiles_x: int, n_tiles: int, interpret: bool):
+    p = cfg.pixels_per_tile
+    mpt = cfg.max_per_tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, _F, p), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _F, p), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, _F, mpt), _f32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, _F, G), _f32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = partial(_bwd_kernel, cfg=cfg, tiles_x=tiles_x, n_tiles=n_tiles)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((_F, feats_t.shape[1]), _f32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(starts, counts, cam_params, feats_t, res, g_out)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def blend_pallas(feats_t, starts, counts, cam_params, cfg: RasterConfig,
+                 tiles_x: int, n_tiles: int, interpret: bool = False):
+    """Differentiable tile blend. feats_t: [16, K_pad] from pack_features_t.
+    cam_params: [8] f32 = [fx, fy, bg0, bg1, bg2, width, height, 0].
+    Returns [T, 16, P] (module docstring for rows); rows 8+ are non-diff."""
+    return _fwd_call(feats_t, starts, counts, cam_params, cfg, tiles_x,
+                     n_tiles, interpret)
+
+
+def _blend_fwd(feats_t, starts, counts, cam_params, cfg, tiles_x, n_tiles,
+               interpret):
+    out = _fwd_call(feats_t, starts, counts, cam_params, cfg, tiles_x,
+                    n_tiles, interpret)
+    return out, (feats_t, starts, counts, cam_params, out)
+
+
+def _blend_bwd(cfg, tiles_x, n_tiles, interpret, resids, g_out):
+    feats_t, starts, counts, cam_params, out = resids
+    # [16, K_pad] feature-major grads, written in place by the kernel; slots
+    # beyond the aligned pair total are garbage but masked dead by the
+    # `pair_valid` select in prepare_pairs' VJP.
+    d_feats = _bwd_call(feats_t, starts, counts, cam_params, out, g_out,
+                        cfg, tiles_x, n_tiles, interpret)
+    zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return (d_feats, zero_i(starts), zero_i(counts),
+            jnp.zeros_like(cam_params))
+
+
+blend_pallas.defvjp(_blend_fwd, _blend_bwd)

@@ -107,7 +107,8 @@ class Trainer:
         return RasterConfig(
             sh_degree=self.active_sh, sg_degree=self.active_sg,
             kernel_size=self.kernel_size, require_depth=require_depth,
-            pair_capacity=self.pair_capacity, max_per_tile=self.max_per_tile)
+            pair_capacity=self.pair_capacity, max_per_tile=self.max_per_tile,
+            backend=os.environ.get("GSJAX_RASTER_BACKEND", "auto"))
 
     def lrs(self):
         o = self.opt
