@@ -70,7 +70,11 @@ def depth_to_normal(depth, fx, fy, cx, cy):
     dy = pts[2:, 1:-1] - pts[:-2, 1:-1]
     dx = pts[1:-1, 2:] - pts[1:-1, :-2]
     n = jnp.cross(dy, dx)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # double-where normalisation: a plain n/max(||n||,eps) has a NaN *gradient*
+    # at ||n||=0 (flat or empty depth), which 0-cotangents do not mask
+    nrm2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    good = nrm2 > 1e-20
+    n = jnp.where(good, n * jax.lax.rsqrt(jnp.where(good, nrm2, 1.0)), 0.0)
     normal = jnp.pad(n, ((1, 1), (1, 1), (0, 0)))
 
     vd = depth > 0

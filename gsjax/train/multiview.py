@@ -81,7 +81,10 @@ def patchmatch_losses(median_depth: jax.Array,
     geo_loss = jnp.sum(jnp.where(d_mask, weights * pixel_noise, 0.0)) / cnt
 
     # 4. NCC over the masked pixels (dense, loss_utils.py:227-267)
-    nrm = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+    # double-where: norm() has NaN gradient at 0-normals (empty pixels)
+    nrm2 = jnp.sum(normal * normal, axis=-1, keepdims=True)
+    good = nrm2 > 1e-20
+    nrm = jnp.where(good, normal * jax.lax.rsqrt(jnp.where(good, nrm2, 1.0)), 0.0)
     rel_rn = near_cam.world_view @ _invert_rigid(ref_cam.world_view)  # ref->near
     cc, cc_valid = warp_patch_ncc(
         median_depth, nrm, gray_r, gray_n,

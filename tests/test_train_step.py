@@ -102,3 +102,24 @@ def test_grow_capacity():
     assert p2.capacity == 64
     assert int(jnp.sum(a2.alive)) == 30
     np.testing.assert_allclose(np.asarray(p2.xyz[:40]), np.asarray(params.xyz))
+
+
+def test_depth_normal_grad_finite_on_flat_and_empty_depth():
+    """Regression: depth_to_normal's normalisation must not emit NaN grads at
+    zero cross-products (flat or empty depth regions) — the where() in
+    depth_normal_loss does not mask NaN cotangent products."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsjax.train import losses
+
+    depth = jnp.zeros((16, 16))
+    depth = depth.at[4:12, 4:12].set(2.0)       # flat plateau + empty border
+
+    def f(d):
+        n, valid = losses.depth_to_normal(d, 20.0, 20.0, 8.0, 8.0)
+        rn = jnp.ones((16, 16, 3)) / jnp.sqrt(3.0)
+        return losses.depth_normal_loss(rn, n, valid)
+
+    g = jax.grad(f)(depth)
+    assert jnp.isfinite(g).all(), "NaN/inf in depth-normal gradient"
