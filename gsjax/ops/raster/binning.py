@@ -29,11 +29,10 @@ from gsjax.ops.raster.preprocess import Preprocessed
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Binning:
-    gauss_idx: jax.Array    # [K] int32 gaussian index per sorted pair (padding -> 0)
-    tile_of_pair: jax.Array  # [K] int32 tile id per sorted pair (padding -> T)
-    pair_valid: jax.Array   # [K] bool
-    tile_start: jax.Array   # [T] int32 offset of each tile's slice
-    tile_count: jax.Array   # [T] int32 number of pairs in each tile
+    gauss_idx: jax.Array    # [K_al] int32 gaussian index per pair slot (pad -> 0)
+    pair_valid: jax.Array   # [K_al] bool
+    tile_start: jax.Array   # [T] int32 aligned offset of each tile's slice
+    tile_count: jax.Array   # [T] int32 number of real pairs in each tile
     num_pairs: jax.Array    # [] int32 total real pairs (for capacity monitoring)
     max_tile_count: jax.Array  # [] int32 (for max_per_tile monitoring)
 
@@ -43,6 +42,11 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
     num_tiles = tiles_x * tiles_y
     k = cfg.pair_capacity
     n = prep.tiles_touched.shape[0]
+
+    # XLA on TPU fuses chains of gather/scatter/arithmetic into serial loop
+    # fusions (~100x slower than the standalone fast paths); barriers pin each
+    # stage to its own efficient kernel.
+    barrier = jax.lax.optimization_barrier
 
     touched = jax.lax.stop_gradient(prep.tiles_touched)
     cum = jnp.cumsum(touched)                      # inclusive
@@ -58,17 +62,17 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
     g_ids = jnp.arange(n, dtype=jnp.int32)
     mark = jnp.zeros((k,), jnp.int32).at[
         jnp.where(touched > 0, starts_exc, k)].set(g_ids, mode="drop")
-    g = jax.lax.cummax(mark)
+    g = barrier(jax.lax.cummax(barrier(mark)))
 
     # one packed row-gather instead of 5 scalar gathers (TPU gathers are
     # per-row; all values fit exactly in f32)
-    packed = jnp.stack([
+    packed = barrier(jnp.stack([
         starts_exc.astype(jnp.float32),
         prep.rect_min[:, 0].astype(jnp.float32),
         prep.rect_min[:, 1].astype(jnp.float32),
         jnp.maximum(prep.rect_wh[:, 0], 1).astype(jnp.float32),
         jax.lax.stop_gradient(prep.depth),
-    ], axis=1)[g]                                  # [K,5]
+    ], axis=1)[g])                                 # [K,5]
     j = p_ids - packed[:, 0].astype(jnp.int32)     # rank within g's rect
     w = packed[:, 3].astype(jnp.int32)
     ty = packed[:, 2].astype(jnp.int32) + j // w
@@ -91,25 +95,29 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
     # The Pallas blend/backward kernels DMA each tile's slice as a statically
     # lane-aligned window; alignment makes per-tile windows disjoint so the
     # backward can write per-pair gradients without cross-tile accumulation.
-    # Aligned total is always <= total + num_tiles*align <= k_al, so this can
-    # never overflow (capacity monitoring stays on `total` vs pair_capacity).
+    # Per-slot source indices come from three monotone scatter-max + cummax
+    # "spreads" — NO per-slot table gathers: a [K_al]<-[T] gather lowers to a
+    # ~20ms serial loop fusion on TPU, the spreads are bandwidth-bound.
     align = cfg.align
     k_al = k + num_tiles * align
     start_al = jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
         jnp.cumsum(-(-tile_count // align) * align).astype(jnp.int32)[:-1]])
-    ok = pair_valid & (sorted_tile < num_tiles)
-    tile_safe = jnp.minimum(sorted_tile, num_tiles - 1)
-    dest = jnp.where(ok, start_al[tile_safe] + (p_ids - tile_start[tile_safe]),
-                     k_al)
-    g_al = jnp.zeros((k_al,), jnp.int32).at[dest].set(sorted_g, mode="drop")
-    valid_al = jnp.zeros((k_al,), jnp.bool_).at[dest].set(ok, mode="drop")
-    tile_al = jnp.full((k_al,), num_tiles, jnp.int32).at[dest].set(
-        sorted_tile, mode="drop")
+
+    def spread(vals):  # vals [T] non-decreasing -> per-slot value
+        return barrier(jax.lax.cummax(
+            jnp.zeros((k_al,), jnp.int32).at[start_al].max(vals, mode="drop")))
+
+    sa = spread(start_al)
+    ts = spread(tile_start)
+    be = spread(tile_start + tile_count)
+    q_ids = jnp.arange(k_al, dtype=jnp.int32)
+    src = ts + (q_ids - sa)
+    valid_al = src < be
+    g_al = barrier(sorted_g[barrier(jnp.where(valid_al, src, 0))])
 
     return Binning(
-        gauss_idx=g_al,
-        tile_of_pair=tile_al,
+        gauss_idx=jnp.where(valid_al, g_al, 0),
         pair_valid=valid_al,
         tile_start=start_al,
         tile_count=tile_count,

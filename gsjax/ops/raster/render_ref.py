@@ -89,7 +89,10 @@ def _tile_pixels(tile_id, tiles_x, cfg: RasterConfig):
 def prepare_pairs(prep: Preprocessed, binning: Binning, cfg: RasterConfig) -> jax.Array:
     """Gather per-pair features in sorted order, sanitised and padded so
     per-tile dynamic slices never clamp."""
-    feats_pairs = _pack_features(prep)[binning.gauss_idx]
+    # barrier: fused with downstream math this row-gather lowers to a serial
+    # loop on TPU (see binning.py)
+    feats_pairs = jax.lax.optimization_barrier(
+        _pack_features(prep)[binning.gauss_idx])
     # `where`, not multiply: padding pairs may gather dead (even NaN) rows and
     # NaN * 0 would poison the blend.
     feats_pairs = jnp.where(binning.pair_valid[:, None], feats_pairs, 0.0)
