@@ -146,23 +146,26 @@ def _median_model(ch: _Chunk, a, ts):
 
 
 def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
-                   flags, cfg: RasterConfig):
+                   flags, cache, cfg: RasterConfig):
     """Binary-search T(t*)=0.5 (render_forward.cu:535-645 at equal
     resolution). Returns (m_t ray-distance median, in_range [1,P]).
 
-    Varying-chunk culling: one prepass classifies every chunk against the
-    per-pixel search bracket. A gaussian fully behind the bracket
+    Varying-chunk culling + caching: one prepass classifies every chunk
+    against the per-pixel search bracket. A gaussian fully behind the bracket
     (t_peak + 5 sigma < d_min) contributes the constant log1p(-a); fully
-    ahead contributes ~0; only chunks containing a gaussian whose CDF varies
-    over the bracket are re-traversed by the 17 bisection evaluations
-    (`flags` is an SMEM scratch of per-chunk booleans)."""
+    ahead contributes ~0. Chunks whose CDF varies over the bracket have their
+    (alpha, t_peak, rsig, log1p(-alpha)) planes cached in VMEM — the 17
+    bisection evaluations are then pure VPU math over the few cached chunks.
+    `flags[c]`: 0 = constant, 1 = varying (recompute), slot+2 = cached."""
     zero = jnp.zeros_like(md_init)
     max_contrib = jnp.max(n_contrib)
     nc_chunks = (max_contrib + G - 1) // G
     d_min = jnp.maximum(md_init - cfg.sample_range, 0.0)
     d_max = jnp.maximum(md_init + cfg.sample_range, 0.0)
+    n_slots = cache.shape[0]
 
-    def pre_body(c, lf_const):
+    def pre_body(c, carry):
+        lf_const, used = carry
         ch = _Chunk(buf, c, px, py, eye)
         rel = _rel_ids(c)
         a, _, passes = ch.alpha(cfg, rel, count)
@@ -173,22 +176,41 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
         behind_all = applied & (ch.t_val + margin < d_min)
         ahead_all = ch.t_val - margin > d_max
         varying = applied & ~behind_all & ~ahead_all
-        flags[c] = jnp.any(varying).astype(jnp.int32)
-        return lf_const + jnp.sum(
-            jnp.where(behind_all, jnp.log1p(-a), 0.0), axis=0, keepdims=True)
+        any_var = jnp.any(varying)
+        cacheable = any_var & (used < n_slots)
+        slot = jnp.where(cacheable, used, 0)
 
-    lf_const = jax.lax.fori_loop(0, nc_chunks, pre_body, zero)
+        @pl.when(cacheable)
+        def _():
+            am = jnp.where(varying, a, 0.0)
+            cache[slot, 0] = am
+            cache[slot, 1] = jnp.broadcast_to(ch.t_val, am.shape)
+            cache[slot, 2] = jnp.broadcast_to(rsig, am.shape)
+            cache[slot, 3] = jnp.log1p(-am)
+
+        flags[c] = jnp.where(any_var, jnp.where(cacheable, slot + 2, 1), 0)
+        # varying-but-uncached chunks are evaluated in full, so only cached /
+        # constant chunks bank their behind contribution here... both paths
+        # need behind_all in lf_const (the cached planes exclude them).
+        lf_const = lf_const + jnp.sum(
+            jnp.where(behind_all, jnp.log1p(-a), 0.0), axis=0, keepdims=True)
+        return (lf_const, used + cacheable.astype(jnp.int32))
+
+    lf_const, _ = jax.lax.fori_loop(0, nc_chunks, pre_body, (zero, jnp.int32(0)))
 
     def eval_t(ts):
         def body(c, log_tp):
-            def live(log_tp):
+            flag = flags[c]
+
+            def skip(log_tp):
+                return log_tp
+
+            def recompute(log_tp):
                 ch = _Chunk(buf, c, px, py, eye)
                 rel = _rel_ids(c)
                 a, _, passes = ch.alpha(cfg, rel, count)
                 applied = passes & (rel < n_contrib)
                 a = jnp.where(applied, a, 0.0)
-                # in a varying chunk, fully-behind gaussians are already in
-                # lf_const; mask them out of the exact evaluation
                 rsig = ch.col(12)
                 margin = jnp.where(rsig > 0,
                                    5.0 / jnp.where(rsig > 0, rsig, 1.0), 0.0)
@@ -196,7 +218,22 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
                 lf, *_ = _median_model(ch, a, ts)
                 lf = jnp.where(applied & ~behind_all, lf, 0.0)
                 return log_tp + jnp.sum(lf, axis=0, keepdims=True)
-            return jax.lax.cond(flags[c] != 0, live, lambda x: x, log_tp)
+
+            def cached(log_tp):
+                slot = flag - 2
+                am = cache[slot, 0]
+                tv = cache[slot, 1]
+                rs = cache[slot, 2]
+                l1m = cache[slot, 3]
+                delta = (ts - tv) * rs
+                hg = jnp.where(rs > 0, jnp.exp(-0.5 * delta * delta), 0.0)
+                om = jnp.maximum(1.0 - am * hg, 1e-12)
+                lf = jnp.where(ts > tv, l1m - 0.5 * jnp.log(om),
+                               0.5 * jnp.log(om))
+                return log_tp + jnp.sum(lf, axis=0, keepdims=True)
+
+            return jax.lax.switch(jnp.minimum(flag, 2),
+                                  [skip, recompute, cached], log_tp)
         return jnp.exp(lf_const +
                        jax.lax.fori_loop(0, nc_chunks, body, zero))
 
@@ -239,8 +276,8 @@ def _start_copy(feats_hbm, starts_ref, list_buf, sem, tile_idx, slot, mpt):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_hbm, out_ref,
-                list_buf, sem, flags, *, cfg: RasterConfig, tiles_x: int,
-                n_tiles: int):
+                list_buf, sem, flags, cache, *, cfg: RasterConfig,
+                tiles_x: int, n_tiles: int):
     t = pl.program_id(0)
     p = cfg.pixels_per_tile
     mpt = cfg.max_per_tile
@@ -316,7 +353,7 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_hbm, out_ref,
 
     if cfg.require_depth:
         m_t, in_range = _median_search(buf, px, py, eye, n_contrib, count,
-                                       t_final, md_init, flags, cfg)
+                                       t_final, md_init, flags, cache, cfg)
         rln = _ray_to_z(px, py, fx, fy, width, height)
         out_ref[0, 7:8, :] = m_t * rln
         out_ref[0, 11:12, :] = in_range.astype(_f32)
@@ -338,6 +375,7 @@ def _fwd_call(feats_t, starts, counts, cam_params, cfg: RasterConfig,
             pltpu.VMEM((2, _F, cfg.max_per_tile), _f32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((cfg.max_per_tile // G,), jnp.int32),
+            pltpu.VMEM((8, 4, G, cfg.pixels_per_tile), _f32),
         ],
     )
     kernel = partial(_fwd_kernel, cfg=cfg, tiles_x=tiles_x, n_tiles=n_tiles)
