@@ -43,9 +43,10 @@ def _render_tiles_pallas(prep, binning, camera: Camera, cfg: RasterConfig,
         jnp.asarray([camera.fx, camera.fy], jnp.float32),
         bg.astype(jnp.float32).reshape(3),
         jnp.asarray([camera.width, camera.height, 0.0], jnp.float32)])
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     out = render_pallas.blend_pallas(
-        feats_t, binning.tile_start, binning.tile_count, cam_params, cfg,
-        tiles_x, n_tiles, interpret)
+        feats_t, tile_ids, binning.tile_start, binning.tile_count, cam_params,
+        cfg, tiles_x, n_tiles, interpret)
 
     def img(rows, grad=True):
         v = rows if grad else jax.lax.stop_gradient(rows)

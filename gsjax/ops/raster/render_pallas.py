@@ -275,8 +275,8 @@ def _start_copy(feats_hbm, starts_ref, list_buf, sem, tile_idx, slot, mpt):
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_hbm, out_ref,
-                list_buf, sem, flags, cache, *, cfg: RasterConfig,
+def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
+                out_ref, list_buf, sem, flags, cache, *, cfg: RasterConfig,
                 tiles_x: int, n_tiles: int):
     t = pl.program_id(0)
     p = cfg.pixels_per_tile
@@ -298,7 +298,7 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_hbm, out_ref,
     buf = list_buf.at[t % 2]                     # [16, mpt]
     count = counts_ref[t]
 
-    px, py = _pixel_rows(t, tiles_x, cfg)
+    px, py = _pixel_rows(tileids_ref[t], tiles_x, cfg)
     eye = _eye16()
     tri = _tri_strict()
     n_chunks = (count + G - 1) // G
@@ -362,11 +362,12 @@ def _fwd_kernel(starts_ref, counts_ref, cam_ref, feats_hbm, out_ref,
         out_ref[0, 11:12, :] = row0
 
 
-def _fwd_call(feats_t, starts, counts, cam_params, cfg: RasterConfig,
-              tiles_x: int, n_tiles: int, interpret: bool):
+def _fwd_call(feats_t, tile_ids, starts, counts, cam_params,
+              cfg: RasterConfig, tiles_x: int, n_tiles: int,
+              interpret: bool):
     p = cfg.pixels_per_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, _F, p), lambda t, *_: (t, 0, 0),
@@ -386,16 +387,16 @@ def _fwd_call(feats_t, starts, counts, cam_params, cfg: RasterConfig,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(starts, counts, cam_params, feats_t)
+    )(tile_ids, starts, counts, cam_params, feats_t)
 
 
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_hbm, res_ref, g_ref,
-                dout_hbm, list_buf, sem, dbuf, dsem, *, cfg: RasterConfig,
-                tiles_x: int, n_tiles: int):
+def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
+                res_ref, g_ref, dout_hbm, list_buf, sem, dbuf, dsem, *,
+                cfg: RasterConfig, tiles_x: int, n_tiles: int):
     """Gradients w.r.t. the per-pair features of one tile.
 
     res_ref/g_ref: [1, 16, P] forward output block and its cotangent.
@@ -424,7 +425,7 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_hbm, res_ref, g_ref,
     buf = list_buf.at[t % 2]
     count = counts_ref[t]
 
-    px, py = _pixel_rows(t, tiles_x, cfg)
+    px, py = _pixel_rows(tileids_ref[t], tiles_x, cfg)
     eye = _eye16()
     tri = _tri_strict()
     start = starts_ref[t]
@@ -608,12 +609,12 @@ def _bwd_kernel(starts_ref, counts_ref, cam_ref, feats_hbm, res_ref, g_ref,
         d_copy(n_chunks - 2, (n_chunks - 2) % 2).wait()
 
 
-def _bwd_call(feats_t, starts, counts, cam_params, res, g_out,
+def _bwd_call(feats_t, tile_ids, starts, counts, cam_params, res, g_out,
               cfg: RasterConfig, tiles_x: int, n_tiles: int, interpret: bool):
     p = cfg.pixels_per_tile
     mpt = cfg.max_per_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -638,39 +639,43 @@ def _bwd_call(feats_t, starts, counts, cam_params, res, g_out,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(starts, counts, cam_params, feats_t, res, g_out)
+    )(tile_ids, starts, counts, cam_params, feats_t, res, g_out)
 
 
 # ---------------------------------------------------------------------------
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def blend_pallas(feats_t, starts, counts, cam_params, cfg: RasterConfig,
-                 tiles_x: int, n_tiles: int, interpret: bool = False):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def blend_pallas(feats_t, tile_ids, starts, counts, cam_params,
+                 cfg: RasterConfig, tiles_x: int, n_tiles: int,
+                 interpret: bool = False):
     """Differentiable tile blend. feats_t: [16, K_pad] from pack_features_t.
-    cam_params: [8] f32 = [fx, fy, bg0, bg1, bg2, width, height, 0].
-    Returns [T, 16, P] (module docstring for rows); rows 8+ are non-diff."""
-    return _fwd_call(feats_t, starts, counts, cam_params, cfg, tiles_x,
-                     n_tiles, interpret)
+    tile_ids: [T_local] global tile ids (iota when rendering the full frame;
+    a device-local subset under shard_map). starts/counts index the pair
+    buffer per entry of tile_ids. cam_params: [8] f32 =
+    [fx, fy, bg0, bg1, bg2, width, height, 0].
+    Returns [T_local, 16, P] (module docstring for rows); rows 8+ non-diff."""
+    return _fwd_call(feats_t, tile_ids, starts, counts, cam_params, cfg,
+                     tiles_x, n_tiles, interpret)
 
 
-def _blend_fwd(feats_t, starts, counts, cam_params, cfg, tiles_x, n_tiles,
-               interpret):
-    out = _fwd_call(feats_t, starts, counts, cam_params, cfg, tiles_x,
-                    n_tiles, interpret)
-    return out, (feats_t, starts, counts, cam_params, out)
+def _blend_fwd(feats_t, tile_ids, starts, counts, cam_params, cfg, tiles_x,
+               n_tiles, interpret):
+    out = _fwd_call(feats_t, tile_ids, starts, counts, cam_params, cfg,
+                    tiles_x, n_tiles, interpret)
+    return out, (feats_t, tile_ids, starts, counts, cam_params, out)
 
 
 def _blend_bwd(cfg, tiles_x, n_tiles, interpret, resids, g_out):
-    feats_t, starts, counts, cam_params, out = resids
+    feats_t, tile_ids, starts, counts, cam_params, out = resids
     # [16, K_pad] feature-major grads, written in place by the kernel; slots
     # beyond the aligned pair total are garbage but masked dead by the
     # `pair_valid` select in prepare_pairs' VJP.
-    d_feats = _bwd_call(feats_t, starts, counts, cam_params, out, g_out,
-                        cfg, tiles_x, n_tiles, interpret)
+    d_feats = _bwd_call(feats_t, tile_ids, starts, counts, cam_params, out,
+                        g_out, cfg, tiles_x, n_tiles, interpret)
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    return (d_feats, zero_i(starts), zero_i(counts),
+    return (d_feats, zero_i(tile_ids), zero_i(starts), zero_i(counts),
             jnp.zeros_like(cam_params))
 
 

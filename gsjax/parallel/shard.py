@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gsjax.model import gaussians as gm
-from gsjax.ops.raster import render_ref
+from gsjax.ops.raster import render_pallas, render_ref
+from gsjax.ops.raster.api import _use_pallas
 from gsjax.ops.raster.binning import bin_gaussians
 from gsjax.ops.raster.camera import Camera
 from gsjax.ops.raster.config import RasterConfig
@@ -44,9 +45,42 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(devs, (AXIS,))
 
 
+def _render_local_tiles_pallas(prep, binning, camera: Camera,
+                               cfg: RasterConfig, bg, my_tiles):
+    """Pallas blend of a device-local slice of tiles (same per-chip kernels
+    as the single-chip path; tile ids address global pixel coordinates)."""
+    tiles_x, _ = cfg.grid(camera.width, camera.height)
+    num_tiles_global = binning.tile_start.shape[0]
+    t_local = my_tiles.shape[0]
+    interpret = jax.default_backend() != "tpu"
+
+    feats = render_ref.prepare_pairs(prep, binning, cfg)
+    feats_t = render_pallas.pack_features_t(feats, cfg)
+    in_bounds = my_tiles < num_tiles_global
+    safe_ids = jnp.minimum(my_tiles, num_tiles_global - 1)
+    starts = jnp.where(in_bounds, binning.tile_start[safe_ids], 0)
+    counts = jnp.where(in_bounds, binning.tile_count[safe_ids], 0)
+    cam_params = jnp.concatenate([
+        jnp.asarray([camera.fx, camera.fy], jnp.float32),
+        bg.astype(jnp.float32).reshape(3),
+        jnp.asarray([camera.width, camera.height, 0.0], jnp.float32)])
+    out = render_pallas.blend_pallas(
+        feats_t, safe_ids, starts, counts, cam_params, cfg,
+        tiles_x, t_local, interpret)
+    return {
+        "color": jnp.moveaxis(out[:, 0:3, :], 1, -1),
+        "normal": jnp.moveaxis(out[:, 3:6, :], 1, -1),
+        "alpha": out[:, 6, :],
+        "median_depth": out[:, 7, :],
+    }
+
+
 def _render_local_tiles(prep, binning, camera: Camera, cfg: RasterConfig,
                         bg, my_tiles):
     """Blend a device-local slice of tiles. my_tiles: [T_local] global ids."""
+    if _use_pallas(cfg):
+        return _render_local_tiles_pallas(prep, binning, camera, cfg, bg,
+                                          my_tiles)
     tiles_x, _ = cfg.grid(camera.width, camera.height)
     num_tiles_global = binning.tile_start.shape[0]
     t_local = my_tiles.shape[0]

@@ -49,17 +49,18 @@ def stage1(*a):
 
 feats_t, starts, counts = jax.block_until_ready(stage1(*args))
 
+tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
 fwd = jax.jit(lambda ft: render_pallas._fwd_call(
-    ft, starts, counts, cam_params, cfg, tiles_x, n_tiles, False))
+    ft, tile_ids, starts, counts, cam_params, cfg, tiles_x, n_tiles, False))
 out = jax.block_until_ready(fwd(feats_t))
 
 g_out = jnp.ones_like(out)
 bwdk = jax.jit(lambda ft, o, g: render_pallas._bwd_call(
-    ft, starts, counts, cam_params, o, g, cfg, tiles_x, n_tiles, False))
+    ft, tile_ids, starts, counts, cam_params, o, g, cfg, tiles_x, n_tiles, False))
 d_blocks = jax.block_until_ready(bwdk(feats_t, out, g_out))
 
 full_bwd = jax.jit(lambda ft, o, g: render_pallas._blend_bwd(
-    cfg, tiles_x, n_tiles, False, (ft, starts, counts, cam_params, o), g)[0])
+    cfg, tiles_x, n_tiles, False, (ft, tile_ids, starts, counts, cam_params, o), g)[0])
 _ = jax.block_until_ready(full_bwd(feats_t, out, g_out))
 
 

@@ -86,3 +86,54 @@ def test_update_table_moves_only_selected_row_strongly():
     app2 = app_lib.update_table(app, 2, g, 0.01)
     delta = np.abs(np.asarray(app2.table) - np.asarray(app.table)).sum(axis=1)
     assert delta[2] > 0 and delta[0] == 0
+
+
+@pytest.mark.slow
+def test_multiview_losses_fire_on_consistent_scene():
+    """On a photometrically consistent scene the PGSR multi-view NCC/geo
+    losses must engage (nonzero, finite grads) — guards against
+    silently-empty masks (train.py:182-191). Evaluated directly at the
+    generating gaussians (a cold model needs ~400 iters to reach alpha>0.55;
+    trainer-level engagement was verified on TPU: 301/301 reg iterations
+    nonzero after convergence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsjax.ops.raster import RasterConfig, render
+    from gsjax.ops.raster.camera import Camera
+    from gsjax.train.multiview import patchmatch_losses
+    from tests.scene_gen import arc_pose, make_gaussians
+
+    w, h = 64, 32
+    n_img = 4
+    means, scales, quats, opac, shs = make_gaussians(120, seed=0)
+    fx = 0.9 * w
+    fovx = 2 * np.arctan(w / (2 * fx))
+    fovy = 2 * np.arctan(h / (2 * fx))
+    cams, grays = [], []
+    cfg = RasterConfig(pair_capacity=1 << 14, max_per_tile=1 << 9,
+                       sh_degree=0, require_depth=True)
+    args = tuple(map(jnp.asarray, (means, scales, quats, opac, shs)))
+    for i in range(n_img):
+        r_w2c, tvec = arc_pose(i, n_img)
+        cam = Camera.create(r_w2c.T, tvec, fovx, fovy, w, h)
+        cams.append(cam)
+        img = render(*args, cam, cfg, jnp.zeros(3))["render"]
+        grays.append(jnp.clip(img, 0, 1).mean(-1))
+
+    ref_i, near_i = 1, 2
+    alive = jnp.ones((means.shape[0],), bool)
+
+    def loss_fn(ms, sc, qt, op):
+        out = render(ms, sc, qt, op, args[4], cams[ref_i], cfg, jnp.zeros(3))
+        ncc, geo = patchmatch_losses(
+            out["median_depth"], out["normal"], ms, sc, qt, op, alive,
+            cams[ref_i], cams[near_i], grays[ref_i], grays[near_i], cfg)
+        return ncc + geo, (ncc, geo)
+
+    (_, (ncc, geo)), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(*args[:4])
+    assert float(ncc) > 1e-6, "NCC loss empty on a consistent scene"
+    assert float(geo) > 1e-6, "geometric loss empty on a consistent scene"
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
