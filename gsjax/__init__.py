@@ -11,3 +11,16 @@ vector register tile per pixel block), sort-based binning in XLA, and
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent compilation cache: the fused raster/bisection programs take
+# minutes to compile; caching makes every process after the first start in
+# seconds. Opt out with GSJAX_NO_COMPILE_CACHE=1.
+if not _os.environ.get("GSJAX_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ.get("GSJAX_COMPILE_CACHE_DIR",
+                                       _os.path.expanduser("~/.cache/gsjax-xla")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

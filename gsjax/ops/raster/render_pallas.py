@@ -296,7 +296,11 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
 
     _start_copy(feats_hbm, starts_ref, list_buf, sem, t, t % 2, mpt).wait()
     buf = list_buf.at[t % 2]                     # [16, mpt]
-    count = counts_ref[t]
+    # tiles can hold more pairs than the static cap; marching past mpt
+    # would read outside list_buf (and the backward would write outside
+    # the tile's gradient slice) -- clamp, matching the XLA path's
+    # fixed max_per_tile//chunk trip count
+    count = jnp.minimum(counts_ref[t], mpt)
 
     px, py = _pixel_rows(tileids_ref[t], tiles_x, cfg)
     eye = _eye16()
@@ -423,7 +427,11 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
 
     _start_copy(feats_hbm, starts_ref, list_buf, sem, t, t % 2, mpt).wait()
     buf = list_buf.at[t % 2]
-    count = counts_ref[t]
+    # tiles can hold more pairs than the static cap; marching past mpt
+    # would read outside list_buf (and the backward would write outside
+    # the tile's gradient slice) -- clamp, matching the XLA path's
+    # fixed max_per_tile//chunk trip count
+    count = jnp.minimum(counts_ref[t], mpt)
 
     px, py = _pixel_rows(tileids_ref[t], tiles_x, cfg)
     eye = _eye16()

@@ -181,8 +181,24 @@ def blend_tiles_batch(feats_pairs, tile_ids, starts, counts, tiles_x,
 
 def _median_depth_batch(feats_pairs, starts, n_contrib, md_init, t_final,
                         pxs, pys, width, height, fx, fy, cfg: RasterConfig):
+    """Median z-depth for the render path: ray-distance bisection + ray->z."""
+    m_depth, _ = bisect_batch(feats_pairs, starts, n_contrib, md_init,
+                              t_final, pxs, pys, cfg)
+    # ray distance -> z depth (render_forward.cu:421-422, 656)
+    pnx = (pxs - (width - 1) / 2.0) / fx
+    pny = (pys - (height - 1) / 2.0) / fy
+    rln = jax.lax.rsqrt(pnx * pnx + pny * pny + 1.0)
+    return m_depth * rln
+
+
+def bisect_batch(feats_pairs, starts, n_contrib, md_init, t_final,
+                 pxs, pys, cfg: RasterConfig):
     """SPLIT-way transmittance bisection for T(t*)=0.5 (render_forward.cu:535-645),
-    batched over tiles with scalar-cond chunk skipping."""
+    batched over tiles/rounds with scalar-cond chunk skipping.
+
+    Generic over what a "pixel" is: pxs/pys may be a tile's fixed grid (render)
+    or arbitrary projected query points (sample_depth, sample_forward.cu:591-700).
+    Returns (median ray distance [B,P], in_range [B,P] bool)."""
     b, p = md_init.shape
     chunk = cfg.chunk
     n_chunks = -(-cfg.max_per_tile // chunk)
@@ -254,12 +270,7 @@ def _median_depth_batch(feats_pairs, starts, n_contrib, md_init, t_final,
     w_max = jnp.clip((t0 - 0.5) / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20),
                      0.0, 1.0)
     m_depth = jnp.where(in_range, w_max * d_max + (1.0 - w_max) * d_min, 0.0)
-
-    # ray distance -> z depth (render_forward.cu:421-422, 656)
-    pnx = (pxs - (width - 1) / 2.0) / fx
-    pny = (pys - (height - 1) / 2.0) / fy
-    rln = jax.lax.rsqrt(pnx * pnx + pny * pny + 1.0)
-    return m_depth * rln
+    return m_depth, in_range
 
 
 def render_tiles(prep: Preprocessed, binning: Binning, camera: Camera,

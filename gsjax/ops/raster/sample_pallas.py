@@ -1,0 +1,430 @@
+"""Pallas TPU point-query kernels: per-point median-depth sampling and
+transmittance integration over tile-binned point rounds.
+
+Hand-written replacements for the XLA round-batch path in `gsjax.ops.sample`,
+mirroring `sampleDepthCUDA` / `evaluateTransmittanceCUDA`
+(sample_forward.cu:430-700, :55-169) and the hand-written depth-sample
+backward (sample_backward.cu:78-359). Work layout follows the reference's
+point binning (rasterizer_impl.cu:1161-1236): query points are pre-sorted by
+tile and chopped into P-point *rounds*; the grid runs one round per step,
+DMA-ing the owning tile's depth-sorted gaussian list (double-buffered, as in
+render_pallas) plus the round's [4, P] point rows.
+
+Forward (depth mode) = the render blend march minus color/normal accumulation
+(only T, n_contrib, and the T>0.5 crossing are tracked), then the same binary
+median-depth search as the render kernel (`_median_search`, shared).
+
+Backward (depth mode) = the implicit-function derivative of T(t*)=0.5 at the
+root (render_backward.cu:835-880 analogue, no blend terms): d_denom = dT/dt
+over applied gaussians, s = -g_m / d_denom, then per-gaussian feature grads
+and — unlike the render kernel — per-*point* (px, py) grads (sample points
+are themselves differentiable, sample_backward.cu:200-270). Per-gaussian
+grads accumulate in a VMEM tile accumulator across the consecutive rounds of
+one tile and flush once per tile; the [16, K_pad] gradient output is
+zero-initialised via input/output aliasing so tiles with no query points
+contribute nothing.
+
+Integrate mode is forward-only (the reference's evaluateTransmittance has no
+backward) and accumulates the half-gaussian-CDF transmittance at each point's
+own ray depth during the march.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gsjax.ops.raster.config import RasterConfig
+from gsjax.ops.raster.render_pallas import (
+    _F, G, _f32, _Chunk, _col_sum, _dot, _eye16, _median_model,
+    _median_search, _mm, _rel_ids, _start_copy, _tri_strict)
+
+P_ROWS = 4   # point payload rows: px, py, eval_t, pad
+O_ROWS = 8   # output rows: value, flag, n_contrib, md_init, t_final, 0, 0, 0
+
+
+def _pt_copy(pts_hbm, ps_ref, pt_buf, sem, r, slot, p_round):
+    ps = pl.multiple_of(ps_ref[r], 128)
+    return pltpu.make_async_copy(
+        pts_hbm.at[:, pl.ds(ps, p_round)], pt_buf.at[slot], sem.at[slot])
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _sfwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, out_ref,
+                 list_buf, lsem, pt_buf, psem, flags, cache, *,
+                 cfg: RasterConfig, n_rounds: int, p_round: int,
+                 integrate: bool):
+    r = pl.program_id(0)
+    mpt = cfg.max_per_tile
+    log_tmin = _f32(np.log(cfg.transmittance_min))
+
+    @pl.when(r == 0)
+    def _():
+        _start_copy(feats_hbm, gs_ref, list_buf, lsem, 0, 0, mpt).start()
+        _pt_copy(pts_hbm, ps_ref, pt_buf, psem, 0, 0, p_round).start()
+
+    @pl.when(r + 1 < n_rounds)
+    def _():
+        _start_copy(feats_hbm, gs_ref, list_buf, lsem, r + 1,
+                    (r + 1) % 2, mpt).start()
+        _pt_copy(pts_hbm, ps_ref, pt_buf, psem, r + 1,
+                 (r + 1) % 2, p_round).start()
+
+    _start_copy(feats_hbm, gs_ref, list_buf, lsem, r, r % 2, mpt).wait()
+    _pt_copy(pts_hbm, ps_ref, pt_buf, psem, r, r % 2, p_round).wait()
+    buf = list_buf.at[r % 2]
+    pts = pt_buf[r % 2]                      # [4, P]
+    px = pts[0:1, :]
+    py = pts[1:2, :]
+    et = pts[2:3, :]
+    count = jnp.minimum(gc_ref[r], mpt)  # see render_pallas count clamp
+
+    eye = _eye16()
+    tri = _tri_strict()
+    n_chunks = (count + G - 1) // G
+
+    def body(carry):
+        c, log_t, last_idx, md_init, log_tp = carry
+        ch = _Chunk(buf, c, px, py, eye)
+        rel = _rel_ids(c)
+        a, _, passes = ch.alpha(cfg, rel, count)
+        l1m = jnp.log1p(-a)
+        exc = _mm(tri, l1m)
+        keep = (log_t + exc + l1m) >= log_tmin
+        t_prev = jnp.exp(log_t + exc)
+        applied = passes & keep
+        cond = applied & (t_prev > 0.5)
+        best = jnp.max(jnp.where(cond, rel, -1), axis=0, keepdims=True)
+        md_new = jnp.max(jnp.where(rel == best, ch.t_val, -jnp.inf), axis=0,
+                         keepdims=True)
+        md_init = jnp.where(best >= 0, md_new, md_init)
+        last_idx = jnp.maximum(
+            last_idx, jnp.max(jnp.where(applied, rel, -1), axis=0,
+                              keepdims=True))
+        if integrate:
+            # half-gaussian CDF transmittance at the point's own ray depth
+            # (sample_forward.cu:120-158)
+            lf, *_ = _median_model(ch, a, et)
+            log_tp = log_tp + jnp.sum(jnp.where(applied, lf, 0.0), axis=0,
+                                      keepdims=True)
+        log_t = log_t + jnp.sum(l1m * keep, axis=0, keepdims=True)
+        return (c + 1, log_t, last_idx, md_init, log_tp)
+
+    def cond_fn(carry):
+        c, log_t = carry[0], carry[1]
+        return (c < n_chunks) & (jnp.max(log_t) >= log_tmin)
+
+    row0 = jnp.zeros((1, p_round), _f32)
+    init = (jnp.int32(0), row0, jnp.full((1, p_round), -1, jnp.int32),
+            row0, row0)
+    _, log_t, last_idx, md_init, log_tp = jax.lax.while_loop(
+        cond_fn, body, init)
+
+    t_final = jnp.exp(log_t)
+    n_contrib = last_idx + 1
+    out_ref[0, 2:3, :] = n_contrib.astype(_f32)
+    out_ref[0, 3:4, :] = md_init
+    out_ref[0, 4:5, :] = t_final
+    out_ref[0, 5:8, :] = jnp.zeros((3, p_round), _f32)
+
+    if integrate:
+        out_ref[0, 0:1, :] = jnp.exp(log_tp)
+        out_ref[0, 1:2, :] = jnp.ones((1, p_round), _f32)
+    else:
+        m_t, in_range = _median_search(buf, px, py, eye, n_contrib, count,
+                                       t_final, md_init, flags, cache, cfg)
+        out_ref[0, 0:1, :] = m_t
+        out_ref[0, 1:2, :] = in_range.astype(_f32)
+
+
+def _sfwd_call(feats_t, pts_rows, gs, gc, ps, cfg: RasterConfig,
+               n_rounds: int, p_round: int, integrate: bool, interpret: bool):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_rounds,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, O_ROWS, p_round), lambda r, *_: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, _F, cfg.max_per_tile), _f32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, P_ROWS, p_round), _f32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((cfg.max_per_tile // G,), jnp.int32),
+            pltpu.VMEM((8, 4, G, p_round), _f32),
+        ],
+    )
+    kernel = partial(_sfwd_kernel, cfg=cfg, n_rounds=n_rounds,
+                     p_round=p_round, integrate=integrate)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rounds, O_ROWS, p_round), _f32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(gs, gc, ps, feats_t, pts_rows)
+
+
+# ---------------------------------------------------------------------------
+# backward (depth mode)
+# ---------------------------------------------------------------------------
+
+def _sbwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, res_hbm_spec,
+                 g_spec, dfeats_init, dfeats_hbm, dpts_hbm,
+                 list_buf, lsem, pt_buf, psem, acc, dpt_buf, dptsem, fsem, *,
+                 cfg: RasterConfig, n_rounds: int, p_round: int):
+    """Per-round gradients. res/g blocks arrive in VMEM; per-gaussian grads
+    accumulate in `acc` [16, mpt] across the consecutive rounds of one tile
+    and flush to the tile's (disjoint, G-aligned) dfeats slice once."""
+    r = pl.program_id(0)
+    mpt = cfg.max_per_tile
+
+    @pl.when(r == 0)
+    def _():
+        _start_copy(feats_hbm, gs_ref, list_buf, lsem, 0, 0, mpt).start()
+        _pt_copy(pts_hbm, ps_ref, pt_buf, psem, 0, 0, p_round).start()
+
+    @pl.when(r + 1 < n_rounds)
+    def _():
+        _start_copy(feats_hbm, gs_ref, list_buf, lsem, r + 1,
+                    (r + 1) % 2, mpt).start()
+        _pt_copy(pts_hbm, ps_ref, pt_buf, psem, r + 1,
+                 (r + 1) % 2, p_round).start()
+
+    _start_copy(feats_hbm, gs_ref, list_buf, lsem, r, r % 2, mpt).wait()
+    _pt_copy(pts_hbm, ps_ref, pt_buf, psem, r, r % 2, p_round).wait()
+    buf = list_buf.at[r % 2]
+    pts = pt_buf[r % 2]
+    px = pts[0:1, :]
+    py = pts[1:2, :]
+    count = jnp.minimum(gc_ref[r], mpt)  # see render_pallas count clamp
+    eye = _eye16()
+
+    res = res_hbm_spec[0]                    # [8, P]
+    g = g_spec[0]                            # [1, P]
+    m_t = res[0:1, :]
+    in_range = res[1:2, :]
+    n_contrib = res[2:3, :].astype(jnp.int32)
+    gm = g[0:1, :] * in_range                # dL/dm_t
+
+    max_contrib = jnp.max(n_contrib)
+    nc_chunks = (max_contrib + G - 1) // G
+
+    # fresh tile -> reset the accumulator (consecutive rounds share tiles)
+    same_prev = jnp.logical_and(r > 0, gs_ref[jnp.maximum(r - 1, 0)] == gs_ref[r])
+
+    @pl.when(jnp.logical_not(same_prev))
+    def _():
+        acc[:, :] = jnp.zeros((_F, mpt), _f32)
+
+    # --- implicit-function denominator dT/dt at t = m_t ---------------------
+    def d_body(c, acc_d):
+        ch = _Chunk(buf, c, px, py, eye)
+        rel = _rel_ids(c)
+        a, _, passes = ch.alpha(cfg, rel, count)
+        applied = passes & (rel < n_contrib)
+        a = jnp.where(applied, a, 0.0)
+        _, hg, om, behind, delta, rsig = _median_model(ch, a, m_t)
+        sgn = jnp.where(behind, 1.0, -1.0)
+        d_t = sgn * 0.5 * (a / om) * (-hg * delta * rsig)
+        return acc_d + jnp.sum(jnp.where(applied, d_t, 0.0), axis=0,
+                               keepdims=True)
+
+    d_denom = jax.lax.fori_loop(0, nc_chunks, d_body,
+                                jnp.zeros((1, p_round), _f32))
+    s_pix = jnp.where(jnp.abs(d_denom) > 1e-20, -gm / d_denom, 0.0) * in_range
+
+    # --- per-gaussian + per-point gradients ----------------------------------
+    def gbody(c, dp_carry):
+        dpx_acc, dpy_acc = dp_carry
+        ch = _Chunk(buf, c, px, py, eye)
+        rel = _rel_ids(c)
+        a, a_raw, passes = ch.alpha(cfg, rel, count)
+        m_applied = passes & (rel < n_contrib)
+        am = jnp.where(m_applied, a, 0.0)
+        _, hg, om, behind, delta, rsig = _median_model(ch, am, m_t)
+        sgn = jnp.where(behind, 1.0, -1.0)
+        half_r = 0.5 / om
+        dlf_da = jnp.where(behind, -1.0 / (1.0 - am) + half_r * hg,
+                           -half_r * hg)
+        dlf_dg = sgn * half_r * am
+        d_a = jnp.where(m_applied, s_pix * dlf_da, 0.0)
+        d_tp = jnp.where(m_applied, s_pix * dlf_dg * hg * delta * rsig, 0.0)
+        d_rsig = _col_sum(jnp.where(
+            m_applied & (rsig > 0),
+            s_pix * dlf_dg * (-hg * delta * delta /
+                              jnp.where(rsig > 0, rsig, 1.0)),
+            0.0))
+
+        notclamped = a_raw < cfg.alpha_clamp
+        d_pow = jnp.where(notclamped, d_a * a, 0.0)
+        expp = jnp.exp(jnp.minimum(ch.power, 0.0))
+        d_op = _col_sum(jnp.where(notclamped, d_a * expp, 0.0))
+
+        dx, dy = ch.dx, ch.dy
+        ca, cb, cc = ch.col(2), ch.col(3), ch.col(4)
+        rp0, rp1 = ch.col(9), ch.col(10)
+        gx_term = d_pow * (-(ca * dx + cb * dy)) + d_tp * rp0
+        gy_term = d_pow * (-(cc * dy + cb * dx)) + d_tp * rp1
+        d_ca = _col_sum(d_pow * (-0.5 * dx * dx))
+        d_cc = _col_sum(d_pow * (-0.5 * dy * dy))
+        d_cb = _col_sum(d_pow * (-dx * dy))
+        d_gx = _col_sum(gx_term)
+        d_gy = _col_sum(gy_term)
+        d_rp0 = _col_sum(d_tp * dx)
+        d_rp1 = _col_sum(d_tp * dy)
+        d_tc = _col_sum(d_tp)
+        zero_col = jnp.zeros((G, 1), _f32)
+        zero3 = jnp.zeros((G, 3), _f32)
+        d_all = jnp.concatenate([
+            d_gx, d_gy, d_ca, d_cb, d_cc, d_op, zero3,
+            d_rp0, d_rp1, d_tc, d_rsig, zero3], axis=1)          # [G, 16]
+
+        o = pl.multiple_of(c * G, G)
+        acc[:, pl.ds(o, G)] = acc[:, pl.ds(o, G)] + _dot(eye, d_all,
+                                                         ((1,), (1,)))
+
+        # query-point grads: d/dpx = -d/dgx per interaction (dx = gx - px)
+        dpx_acc = dpx_acc - jnp.sum(gx_term, axis=0, keepdims=True)
+        dpy_acc = dpy_acc - jnp.sum(gy_term, axis=0, keepdims=True)
+        return (dpx_acc, dpy_acc)
+
+    row0 = jnp.zeros((1, p_round), _f32)
+    dpx_acc, dpy_acc = jax.lax.fori_loop(0, nc_chunks, gbody, (row0, row0))
+
+    # Point grads. Round windows of *adjacent tiles* can overlap (a round is
+    # P wide, a tile's aligned point slice may be narrower), and ascending
+    # round order makes each tile's own write land last — but only if writes
+    # are ordered, so the copy is waited immediately (it's 16 KB; the march
+    # above dominates).
+    dpt_buf[0] = jnp.concatenate(
+        [dpx_acc, dpy_acc, jnp.zeros((2, p_round), _f32)], axis=0)
+    ps = pl.multiple_of(ps_ref[r], 128)
+    dcp = pltpu.make_async_copy(dpt_buf.at[0],
+                                dpts_hbm.at[:, pl.ds(ps, p_round)],
+                                dptsem.at[0])
+    dcp.start()
+    dcp.wait()
+
+    # flush the tile accumulator when the next round belongs to a new tile
+    is_last = r + 1 >= n_rounds
+    next_gs = gs_ref[jnp.minimum(r + 1, n_rounds - 1)]
+    tile_done = jnp.logical_or(is_last, next_gs != gs_ref[r])
+    tile_chunks = (count + G - 1) // G
+
+    @pl.when(tile_done & (tile_chunks > 0))
+    def _():
+        start = pl.multiple_of(gs_ref[r], G)
+
+        def flush(c, _):
+            cpc = pltpu.make_async_copy(
+                acc.at[:, pl.ds(pl.multiple_of(c * G, G), G)],
+                dfeats_hbm.at[:, pl.ds(pl.multiple_of(start + c * G, G), G)],
+                fsem.at[0])
+            cpc.start()
+            cpc.wait()
+            return 0
+
+        jax.lax.fori_loop(0, tile_chunks, flush, 0)
+
+
+def _sbwd_call(feats_t, pts_rows, gs, gc, ps, res, g_out, cfg: RasterConfig,
+               n_rounds: int, p_round: int, interpret: bool):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_rounds,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                    # feats
+            pl.BlockSpec(memory_space=pl.ANY),                    # pts
+            pl.BlockSpec((1, O_ROWS, p_round), lambda r, *_: (r, 0, 0),
+                         memory_space=pltpu.VMEM),                # res
+            pl.BlockSpec((1, 1, p_round), lambda r, *_: (r, 0, 0),
+                         memory_space=pltpu.VMEM),                # g
+            pl.BlockSpec(memory_space=pl.ANY),                    # dfeats init
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, _F, cfg.max_per_tile), _f32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, P_ROWS, p_round), _f32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_F, cfg.max_per_tile), _f32),
+            pltpu.VMEM((1, P_ROWS, p_round), _f32),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    kernel = partial(_sbwd_kernel, cfg=cfg, n_rounds=n_rounds,
+                     p_round=p_round)
+    # dfeats is zero-initialised by aliasing a zeros input (index counts the
+    # scalar-prefetch args first: gs, gc, ps, feats, pts, res, g, dfeats0)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((_F, feats_t.shape[1]), _f32),
+                   jax.ShapeDtypeStruct((P_ROWS, pts_rows.shape[1]), _f32)],
+        input_output_aliases={7: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(gs, gc, ps, feats_t, pts_rows, res, g_out,
+      jnp.zeros((_F, feats_t.shape[1]), _f32))
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrappers
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def sample_depth_pallas(feats_t, pts_rows, gs, gc, ps,
+                        cfg: RasterConfig, n_rounds: int, p_round: int,
+                        interpret: bool = False):
+    """Median ray-distance per query point, differentiable wrt the pair
+    features and the point pixel coordinates.
+
+    feats_t: [16, K_pad] feature-major pairs (render_pallas.pack_features_t).
+    pts_rows: [4, Q_pad] point rows (px, py, eval_t, 0), tile-sorted and
+      128-aligned per tile; gs/gc/ps: per-round gaussian slice start/count
+      and point-slice start (all 128-aligned starts).
+    Returns [R, 8, P]: rows 0 m_t (ray), 1 in_range, 2 n_contrib, 3 md_init,
+    4 t_final; rows 1+ non-differentiable."""
+    return _sfwd_call(feats_t, pts_rows, gs, gc, ps, cfg, n_rounds, p_round,
+                      False, interpret)
+
+
+def _sd_fwd(feats_t, pts_rows, gs, gc, ps, cfg, n_rounds, p_round, interpret):
+    out = _sfwd_call(feats_t, pts_rows, gs, gc, ps, cfg, n_rounds, p_round,
+                     False, interpret)
+    return out, (feats_t, pts_rows, gs, gc, ps, out)
+
+
+def _sd_bwd(cfg, n_rounds, p_round, interpret, resids, g_out):
+    feats_t, pts_rows, gs, gc, ps, out = resids
+    d_feats, d_pts = _sbwd_call(
+        feats_t, pts_rows, gs, gc, ps, out, g_out[:, 0:1, :], cfg,
+        n_rounds, p_round, interpret)
+    zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return (d_feats, d_pts, zero_i(gs), zero_i(gc), zero_i(ps))
+
+
+sample_depth_pallas.defvjp(_sd_fwd, _sd_bwd)
+
+
+def integrate_pallas(feats_t, pts_rows, gs, gc, ps, cfg: RasterConfig,
+                     n_rounds: int, p_round: int, interpret: bool = False):
+    """Per-point transmittance at the point's own ray depth (forward-only,
+    like the reference's evaluateTransmittance). Returns [R, 8, P]:
+    rows 0 T(point), 1 covered flag."""
+    return _sfwd_call(feats_t, pts_rows, gs, gc, ps, cfg, n_rounds, p_round,
+                      True, interpret)

@@ -2,9 +2,17 @@
 transmittance integration.
 
 Equivalents of `sampleDepthCUDA` (sample_forward.cu:430-700) and
-`evaluateTransmittanceCUDA` (sample_forward.cu:55-169): each query 3D point is
-projected into the view, binned to its pixel's tile, and the tile's
-depth-sorted gaussian list is marched per point.
+`evaluateTransmittanceCUDA` (sample_forward.cu:55-169).
+
+TPU structure mirrors the reference's point binning
+(`createWithKeys`/`countPointBatches`/`setBlockId`,
+rasterizer_impl.cu:109-183, 1161-1236): query points are projected, sorted by
+their pixel's tile, and expanded into fixed-size per-tile *rounds*. Each round
+marches its tile's depth-sorted gaussian slice exactly like the render path —
+dense [chunk, round] VPU math with a scalar-start dynamic slice per chunk —
+instead of a per-point gather (a vmapped per-point dynamic_slice lowers to a
+pathological gather program on TPU; this layout is the same one render_ref
+proves out for pixels).
 
 sample_depth returns, per point, the 3D point at the view's median depth along
 the query pixel ray (in the view's camera frame) — the core of the PGSR
@@ -26,8 +34,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from gsjax.ops.raster import render_ref
-from gsjax.ops.raster.binning import Binning, bin_gaussians
+from gsjax.ops.raster import render_pallas, render_ref, sample_pallas
+from gsjax.ops.raster.binning import bin_gaussians
 from gsjax.ops.raster.camera import Camera
 from gsjax.ops.raster.config import RasterConfig
 from gsjax.ops.raster.preprocess import preprocess
@@ -36,7 +44,7 @@ _F = render_ref._F
 
 
 def _project_points(points, camera: Camera, cfg: RasterConfig):
-    """Project query points into the view. Returns (point_xy, t_ray, inside0)."""
+    """Project query points into the view. Returns (px, py, t_ray, inside0)."""
     hp = jax.lax.Precision.HIGHEST
     wv = camera.world_view
     pv = jnp.einsum("ni,ji->nj", points, wv[:3, :3], precision=hp) + wv[:3, 3]
@@ -61,136 +69,98 @@ def _point_tile(px, py, camera, cfg):
     return ty * tiles_x + tx
 
 
-def _march(feats_pairs, start, count, px, py, cfg, eval_t=None):
-    """Per-point gaussian march (vmapped). Returns carry dict.
+class _QueryMode:
+    DEPTH = "depth"          # median-depth bisection (sample_depth / evaluate_sdf)
+    INTEGRATE = "integrate"  # CDF transmittance at the point's own ray depth
 
-    If eval_t is given, also accumulates the CDF transmittance at that depth
-    (integrate path)."""
+
+def _march_rounds(feats_pairs, gs, gc, pxr, pyr, cfg: RasterConfig, etr=None):
+    """March a batch of rounds through their tiles' gaussian chunks.
+
+    gs, gc: [B] scalar gaussian-slice starts/counts; pxr/pyr: [B,P] point
+    coords; etr: [B,P] eval depths (integrate path) or None.
+    Returns dict(t_final, n_contrib, md_init[, t_point]) each [B,P]."""
+    b, p = pxr.shape
     chunk = cfg.chunk
     n_chunks = -(-cfg.max_per_tile // chunk)
     log_tmin = math.log(cfg.transmittance_min)
+    bmax = jnp.max(gc)
 
-    def chunk_body(carry, c):
-        log_tg, last_idx, md_init, log_tp = carry
+    def chunk_one(carry, c, start, count, px, py, et):
+        log_t, last_idx, md_init, log_tp = carry
         base = start + c * chunk
         feats = jax.lax.dynamic_slice(feats_pairs, (base, 0), (chunk, _F))
         rel = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
         entry_valid = rel < count
-        gx, gy = feats[:, 0], feats[:, 1]
-        ca, cb, cc = feats[:, 2], feats[:, 3], feats[:, 4]
-        op = feats[:, 5]
-        dx = gx - px
-        dy = gy - py
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(cfg.alpha_clamp, op * jnp.exp(jnp.minimum(power, 0.0)))
-        passes = (power <= 0.0) & (alpha >= cfg.alpha_min) & entry_valid
-        a = jnp.where(passes, alpha, 0.0)
-        log1m = jnp.log1p(-a)
-        l_incl = log_tg + jnp.cumsum(log1m)
+        a, passes, dx, dy = render_ref._alpha_terms(feats, px, py, cfg, entry_valid)
+        log1m = jnp.log1p(-a)                               # [C,P]
+        l_incl = log_t[None, :] + jnp.cumsum(log1m, axis=0)
         keep = l_incl >= log_tmin
         l_prev = l_incl - log1m
         applied = passes & keep
-        t_val = feats[:, 9] * dx + feats[:, 10] * dy + feats[:, 11]
+        t_val = feats[:, 9:10] * dx + feats[:, 10:11] * dy + feats[:, 11:12]
         cond = applied & (jnp.exp(l_prev) > 0.5)
-        best = jnp.max(jnp.where(cond, jnp.arange(chunk), -1))
-        md_init = jnp.where(best >= 0, t_val[jnp.maximum(best, 0)], md_init)
-        last_idx = jnp.maximum(last_idx, jnp.max(jnp.where(applied, rel, -1)))
-        log_tg = log_tg + jnp.sum(log1m * keep)
-        if eval_t is not None:
-            rsig = feats[:, 12]
-            delta = (t_val - eval_t) * rsig
+        k_ids = jnp.arange(chunk, dtype=jnp.int32)[:, None]
+        best = jnp.max(jnp.where(cond, k_ids, -1), axis=0)  # [P]
+        md_chunk = jnp.take_along_axis(t_val, jnp.maximum(best, 0)[None, :],
+                                       axis=0)[0]
+        md_init = jnp.where(best >= 0, md_chunk, md_init)
+        last_idx = jnp.maximum(
+            last_idx, jnp.max(jnp.where(applied, rel[:, None], -1), axis=0))
+        log_t = log_t + jnp.sum(log1m * keep, axis=0)
+        if et is not None:
+            # half-gaussian CDF transmittance at the point's own depth
+            # (sample_forward.cu:120-158)
+            rsig = feats[:, 12:13]
+            delta = (t_val - et[None, :]) * rsig
             g = jnp.where(rsig > 0, jnp.exp(-0.5 * delta * delta), 0.0)
             om = jnp.maximum(1.0 - a * g, 1e-12)
-            lf = jnp.where(eval_t > t_val,
+            lf = jnp.where(et[None, :] > t_val,
                            log1m - 0.5 * jnp.log(om), 0.5 * jnp.log(om))
-            log_tp = log_tp + jnp.sum(lf * applied)
-        return (log_tg, last_idx, md_init, log_tp), None
+            log_tp = log_tp + jnp.sum(lf * applied, axis=0)
+        return (log_t, last_idx, md_init, log_tp)
 
-    init = (jnp.zeros(()), jnp.full((), -1, jnp.int32), jnp.zeros(()), jnp.zeros(()))
-    (log_tg, last_idx, md_init, log_tp), _ = jax.lax.scan(
-        jax.checkpoint(chunk_body, policy=jax.checkpoint_policies.nothing_saveable),
-        init, jnp.arange(n_chunks))
-    return dict(t_final=jnp.exp(log_tg), n_contrib=last_idx + 1,
-                md_init=md_init, t_point=jnp.exp(log_tp))
+    carry0 = (jnp.zeros((b, p)), jnp.full((b, p), -1, jnp.int32),
+              jnp.zeros((b, p)), jnp.zeros((b, p)))
 
+    @partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
+    def step(carry, c):
+        def do(cr):
+            if etr is None:
+                return jax.vmap(
+                    lambda cr_, s, cnt, px, py: chunk_one(
+                        cr_, c, s, cnt, px, py, None)
+                )(cr, gs, gc, pxr, pyr)
+            return jax.vmap(
+                lambda cr_, s, cnt, px, py, et: chunk_one(
+                    cr_, c, s, cnt, px, py, et)
+            )(cr, gs, gc, pxr, pyr, etr)
+        return jax.lax.cond(c * chunk < bmax, do, lambda cr: cr, carry), None
 
-def _bisect_point(feats_pairs, start, n_contrib, md_init, t_final, px, py, cfg):
-    """Median-depth bisection for one point (sample_forward.cu:591-700)."""
-    chunk = cfg.chunk
-    n_chunks = -(-cfg.max_per_tile // chunk)
-    s_pts = cfg.split + 1
-
-    in_range = t_final <= cfg.min_transmittance
-    d_min = jnp.maximum(md_init - cfg.sample_range, 0.0)
-    d_max = jnp.maximum(md_init + cfg.sample_range, 0.0)
-
-    def eval_tp(d_min, d_max):
-        interval = (d_max - d_min) / cfg.split
-        ts = d_min + interval * jnp.arange(s_pts, dtype=jnp.float32)   # [S]
-
-        def chunk_body(log_tp, c):
-            base = start + c * chunk
-            feats = jax.lax.dynamic_slice(feats_pairs, (base, 0), (chunk, _F))
-            rel = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
-            gx, gy = feats[:, 0], feats[:, 1]
-            ca, cb, cc = feats[:, 2], feats[:, 3], feats[:, 4]
-            op = feats[:, 5]
-            dx = gx - px
-            dy = gy - py
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            alpha = jnp.minimum(cfg.alpha_clamp, op * jnp.exp(jnp.minimum(power, 0.0)))
-            passes = (power <= 0.0) & (alpha >= cfg.alpha_min) & (rel < n_contrib)
-            a = jnp.where(passes, alpha, 0.0)
-            t_peak = feats[:, 9] * dx + feats[:, 10] * dy + feats[:, 11]
-            rsig = feats[:, 12]
-            delta = (ts[None, :] - t_peak[:, None]) * rsig[:, None]    # [C,S]
-            g = jnp.where(rsig[:, None] > 0, jnp.exp(-0.5 * delta * delta), 0.0)
-            om = jnp.maximum(1.0 - a[:, None] * g, 1e-12)
-            lf = jnp.where(ts[None, :] > t_peak[:, None],
-                           jnp.log1p(-a)[:, None] - 0.5 * jnp.log(om),
-                           0.5 * jnp.log(om))
-            return log_tp + jnp.sum(lf * passes[:, None], axis=0), None
-
-        log_tp, _ = jax.lax.scan(
-            jax.checkpoint(chunk_body, policy=jax.checkpoint_policies.nothing_saveable),
-            jnp.zeros((s_pts,)), jnp.arange(n_chunks))
-        return jnp.exp(log_tp), interval
-
-    t0 = t1 = None
-    for it in range(cfg.split_iterations):
-        tp, interval = eval_tp(d_min, d_max)
-        if it == 0:
-            in_range = in_range & (tp[0] >= 0.5) & (tp[cfg.split] <= 0.5)
-        sid = jnp.zeros((), jnp.int32)
-        for s in range(1, cfg.split):
-            sid = jnp.where(tp[s] >= 0.5, s, sid)
-        d_max = d_min + (sid + 1).astype(jnp.float32) * interval
-        d_min = d_min + sid.astype(jnp.float32) * interval
-        t0 = tp[sid]
-        t1 = tp[sid + 1]
-
-    denom = t0 - t1
-    w_max = jnp.clip((t0 - 0.5) / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20),
-                     0.0, 1.0)
-    m_depth = jnp.where(in_range, w_max * d_max + (1.0 - w_max) * d_min, 0.0)
-    return m_depth, in_range
+    carry, _ = jax.lax.scan(step, carry0, jnp.arange(n_chunks, dtype=jnp.int32))
+    log_t, last_idx, md_init, log_tp = carry
+    out = dict(t_final=jnp.exp(log_t), n_contrib=last_idx + 1, md_init=md_init)
+    if etr is not None:
+        out["t_point"] = jnp.exp(log_tp)
+    return out
 
 
-@partial(jax.jit, static_argnames=("cfg", "point_batch"))
-def sample_depth(points: jax.Array,
-                 means3d, scales, rotations, opacities,
-                 camera: Camera, cfg: RasterConfig,
-                 alive=None, point_batch: int = 4096):
-    """Differentiable cross-view median-depth sampling.
+def _use_pallas(cfg: RasterConfig) -> bool:
+    """Point-query backend choice. Unlike the render blend (api._use_pallas),
+    "auto" stays on the XLA path until the point kernels have more TPU
+    mileage; opt in with backend="pallas" or GSJAX_SAMPLE_BACKEND=pallas."""
+    import os
+    env = os.environ.get("GSJAX_SAMPLE_BACKEND", "")
+    if env in ("ref", "pallas"):
+        return env == "pallas"
+    return cfg.backend == "pallas"
 
-    Args:
-      points: [Q,3] world-space query points (grads flow into them).
-      means3d/scales/rotations/opacities: gaussian params (post-activation,
-        3D-filtered — matching gaussian_renderer/__init__.py:252-264).
 
-    Returns dict(point_cam [Q,3] in camera frame, sampled_depth [Q] z-depth,
-                 inside [Q] bool).
-    """
+def _query(points, means3d, scales, rotations, opacities, camera, cfg,
+           alive, p_round, round_batch, mode):
+    """Shared core: bin points to tiles, march rounds, scatter back.
+
+    Returns (value, flag, px, py, t_ray, inside0)."""
     q = points.shape[0]
     cfg = dataclasses.replace(cfg, sh_degree=0, sg_degree=0)  # colour unused
     shs = jnp.zeros((means3d.shape[0], 1, 3))
@@ -199,34 +169,208 @@ def sample_depth(points: jax.Array,
     binning = bin_gaussians(prep, cfg, camera.width, camera.height)
     feats_pairs = render_ref.prepare_pairs(prep, binning, cfg)
 
-    px, py, _t, inside0 = _project_points(points, camera, cfg)
+    px, py, t_ray, inside0 = _project_points(points, camera, cfg)
+    tiles_x, tiles_y = cfg.grid(camera.width, camera.height)
+    num_tiles = tiles_x * tiles_y
+
+    # ---- bin points by tile ------------------------------------------------
     tile = _point_tile(px, py, camera, cfg)
-    start = binning.tile_start[tile]
-    count = jnp.where(inside0, binning.tile_count[tile], 0)
+    key = jnp.where(inside0, tile, num_tiles).astype(jnp.int32)
+    sorted_key, sorted_q = jax.lax.sort(
+        (jax.lax.stop_gradient(key), jnp.arange(q, dtype=jnp.int32)),
+        num_keys=1)
+    bounds = jnp.searchsorted(
+        sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    pt_start, pt_end = bounds[:-1], bounds[1:]
 
-    pad = (-q) % point_batch
-    def padded(x, fill=0.0):
-        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
-                       constant_values=fill)
-    pxp, pyp = padded(px), padded(py)
-    startp, countp = padded(start), padded(count)
-    n_batches = (q + pad) // point_batch
+    if _use_pallas(cfg):
+        val, flag = _rounds_pallas(
+            feats_pairs, binning, sorted_q, pt_start, pt_end, px, py, t_ray,
+            q, num_tiles, cfg, p_round, mode)
+    else:
+        val, flag = _rounds_xla(
+            feats_pairs, binning, sorted_q, pt_start, pt_end, px, py, t_ray,
+            q, num_tiles, cfg, p_round, round_batch, mode)
+    return val, flag.astype(bool), px, py, t_ray, inside0
 
-    def one_point(s, c, x, y):
-        m = _march(feats_pairs, s, c, x, y, cfg)
-        md, in_range = _bisect_point(feats_pairs, s, m["n_contrib"],
-                                     m["md_init"], m["t_final"], x, y, cfg)
-        return md, in_range
 
-    def batch(_, b):
-        sl = lambda z: jax.lax.dynamic_slice_in_dim(z, b * point_batch, point_batch)
-        md, in_r = jax.vmap(one_point)(sl(startp), sl(countp), sl(pxp), sl(pyp))
-        return None, (md, in_r)
+def _rounds_pallas(feats_pairs, binning, sorted_q, pt_start, pt_end,
+                   px, py, t_ray, q, num_tiles, cfg, p_round, mode):
+    """Hand-written Pallas point-query path: 128-aligned tile-sorted point
+    layout, one kernel grid step per round (sample_pallas.py)."""
+    barrier = jax.lax.optimization_barrier
+    interpret = jax.default_backend() != "tpu"
+    a = 128
+    p_round = max(a, -(-p_round // a) * a)             # lane-aligned rounds
+    pt_count = pt_end - pt_start
+    q_al = -(-q // a) * a + num_tiles * a              # static capacity
 
-    _, (md, in_r) = jax.lax.scan(batch, None, jnp.arange(n_batches))
-    md = md.reshape(-1)[:q]
-    in_r = in_r.reshape(-1)[:q]
+    # aligned slot -> tile-sorted slot (binning.py re-layout pattern)
+    astart = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(-(-pt_count // a) * a).astype(jnp.int32)[:-1]])
 
+    def spread_al(vals):
+        return barrier(jax.lax.cummax(
+            jnp.zeros((q_al,), jnp.int32).at[astart].max(vals, mode="drop")))
+
+    ids = jnp.arange(q_al, dtype=jnp.int32)
+    sa = spread_al(astart)
+    src = spread_al(pt_start) + (ids - sa)
+    valid_al = src < spread_al(pt_end)
+    src_safe = jnp.where(valid_al, src, 0)
+
+    integrate = mode == _QueryMode.INTEGRATE
+    cols = [px, py] + ([t_ray] if integrate else [])
+    packed_sorted = barrier(jnp.stack(cols, axis=1)[sorted_q])   # [Q, 2|3]
+    packed_al = jnp.where(valid_al[:, None],
+                          barrier(packed_sorted[src_safe]), 0.0)
+    tgt_al = jnp.where(valid_al, barrier(sorted_q[src_safe]), q)
+    ncols = packed_al.shape[1]
+    pts_rows = jnp.pad(packed_al.T, ((0, 4 - ncols), (0, p_round)))
+
+    # rounds: `p_round` consecutive aligned slots of one tile per grid step
+    rpt = -(-pt_count // p_round)
+    r_exc = jnp.cumsum(rpt) - rpt
+    r_total = r_exc[-1] + rpt[-1]
+    r_cap = q // p_round + num_tiles + 1               # static grid size
+
+    def spread_r(vals):
+        return barrier(jax.lax.cummax(
+            jnp.zeros((r_cap,), jnp.int32).at[
+                jnp.where(rpt > 0, r_exc, r_cap)].max(vals, mode="drop")))
+
+    r_ids = jnp.arange(r_cap, dtype=jnp.int32)
+    j = r_ids - spread_r(r_exc)
+    live = r_ids < r_total
+    round_ps = jnp.where(
+        live, jnp.minimum(spread_r(astart) + j * p_round, q_al), q_al)
+    round_gs = jnp.where(live, spread_r(binning.tile_start), 0)
+    round_ge = spread_r(binning.tile_start + binning.tile_count)
+    round_gc = jnp.where(live, round_ge - round_gs, 0)
+
+    feats_t = render_pallas.pack_features_t(feats_pairs, cfg)
+    if integrate:
+        out = sample_pallas.integrate_pallas(
+            feats_t, pts_rows, round_gs, round_gc, round_ps, cfg, r_cap,
+            p_round, interpret)
+    else:
+        out = sample_pallas.sample_depth_pallas(
+            feats_t, pts_rows, round_gs, round_gc, round_ps, cfg, r_cap,
+            p_round, interpret)
+    val_r = out[:, 0, :].reshape(-1)                   # [R*P] round-major
+    flag_r = jax.lax.stop_gradient(out[:, 1, :]).reshape(-1)
+
+    # Aligned slot -> (round, offset). Adjacent tiles' round windows can
+    # overlap (a round is p_round wide, a tile's aligned slice may be
+    # narrower), so each slot must read its OWN tile's round rather than
+    # scattering from rounds.
+    local = ids - sa
+    flat = (spread_al(r_exc) + local // p_round) * p_round + local % p_round
+    flat = jnp.where(valid_al, flat, 0)
+    val_al = jnp.where(valid_al, barrier(val_r[flat]), 0.0)
+    flag_al = jnp.where(valid_al, barrier(flag_r[flat]), 0.0)
+
+    val = barrier(jnp.zeros((q,)).at[tgt_al].set(val_al, mode="drop"))
+    flag = barrier(jnp.zeros((q,)).at[tgt_al].set(flag_al, mode="drop"))
+    return val, flag
+
+
+def _rounds_xla(feats_pairs, binning, sorted_q, pt_start, pt_end,
+                px, py, t_ray, q, num_tiles, cfg, p_round, round_batch, mode):
+    """Pure-XLA point-query path (CPU fallback / parity reference)."""
+    barrier = jax.lax.optimization_barrier
+    pt_count = pt_end - pt_start
+    rpt = -(-pt_count // p_round)
+    r_exc = jnp.cumsum(rpt) - rpt
+    r_total = r_exc[-1] + rpt[-1]
+    r_cap = q // p_round + num_tiles + 1
+    nb = -(-r_cap // round_batch)
+    r_pad = nb * round_batch
+
+    def spread(vals):
+        # per-tile non-decreasing values -> per-round owner value, without an
+        # [R]<-[T] gather (binning.py's scatter-max + cummax pattern)
+        return barrier(jax.lax.cummax(
+            jnp.zeros((r_pad,), jnp.int32).at[
+                jnp.where(rpt > 0, r_exc, r_pad)].max(vals, mode="drop")))
+
+    r_ids = jnp.arange(r_pad, dtype=jnp.int32)
+    j = r_ids - spread(r_exc)
+    round_ps = spread(pt_start) + j * p_round
+    round_pe = spread(pt_end)
+    round_gs = spread(binning.tile_start)
+    # aligned slice ends are monotone too (start[t]+count[t] <= start[t+1])
+    round_ge = spread(binning.tile_start + binning.tile_count)
+    round_gc = jnp.where(r_ids < r_total, round_ge - round_gs, 0)
+
+    # sorted point coords (+ eval depth), padded so round slices never clamp
+    cols = [px, py] + ([t_ray] if mode == _QueryMode.INTEGRATE else [])
+    packed = barrier(jnp.stack(cols, axis=1)[sorted_q])           # [Q, 2|3]
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((p_round, packed.shape[1]))], axis=0)
+
+    # heavy rounds first so each batch is roughly homogeneous in chunk count
+    order = jnp.argsort(-round_gc)
+    inv_order = jnp.argsort(order)
+    ps_s, pe_s = round_ps[order], round_pe[order]
+    gs_s, gc_s = round_gs[order], round_gc[order]
+
+    def batch_body(_, bidx):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(
+            x, bidx * round_batch, round_batch)
+        ps_b, pe_b = sl(ps_s), sl(pe_s)
+        rows = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            packed, (s, 0), (p_round, packed.shape[1])))(ps_b)    # [B,P,2|3]
+        pxr, pyr = rows[..., 0], rows[..., 1]
+        etr = rows[..., 2] if mode == _QueryMode.INTEGRATE else None
+        m = _march_rounds(feats_pairs, sl(gs_s), sl(gc_s), pxr, pyr, cfg, etr)
+        if mode == _QueryMode.DEPTH:
+            md, in_r = render_ref.bisect_batch(
+                feats_pairs, sl(gs_s), m["n_contrib"], m["md_init"],
+                m["t_final"], pxr, pyr, cfg)
+            return None, (md, in_r.astype(jnp.int32))
+        return None, (m["t_point"], jnp.ones_like(m["t_point"], jnp.int32))
+
+    _, (val_b, flag_b) = jax.lax.scan(batch_body, None,
+                                      jnp.arange(nb, dtype=jnp.int32))
+    val_r = val_b.reshape(r_pad, p_round)[inv_order]              # round-major
+    flag_r = flag_b.reshape(r_pad, p_round)[inv_order]
+
+    # scatter back: round slot -> sorted position -> original point index.
+    # Indices are unique where valid (rounds tile the sorted range disjointly).
+    slot_idx = round_ps[:, None] + jnp.arange(p_round, dtype=jnp.int32)[None, :]
+    slot_valid = (slot_idx < round_pe[:, None]) & (r_ids < r_total)[:, None]
+    tgt = jnp.where(slot_valid, slot_idx, q)
+    val_sorted = barrier(jnp.zeros((q,)).at[tgt.reshape(-1)].set(
+        val_r.reshape(-1), mode="drop"))
+    flag_sorted = barrier(jnp.zeros((q,), jnp.int32).at[tgt.reshape(-1)].set(
+        flag_r.reshape(-1), mode="drop"))
+    val = barrier(jnp.zeros((q,)).at[sorted_q].set(val_sorted))
+    flag = barrier(jnp.zeros((q,), jnp.int32).at[sorted_q].set(flag_sorted))
+    return val, flag
+
+
+@partial(jax.jit, static_argnames=("cfg", "point_batch", "round_batch"))
+def sample_depth(points: jax.Array,
+                 means3d, scales, rotations, opacities,
+                 camera: Camera, cfg: RasterConfig,
+                 alive=None, point_batch: int = 1024, round_batch: int = 64):
+    """Differentiable cross-view median-depth sampling.
+
+    Args:
+      points: [Q,3] world-space query points (grads flow into them).
+      means3d/scales/rotations/opacities: gaussian params (post-activation,
+        3D-filtered — matching gaussian_renderer/__init__.py:252-264).
+      point_batch: points per round (static; rounds are the unit of tile work).
+
+    Returns dict(point_cam [Q,3] in camera frame, sampled_depth [Q] z-depth,
+                 inside [Q] bool).
+    """
+    md, in_r, px, py, _t, inside0 = _query(
+        points, means3d, scales, rotations, opacities, camera, cfg, alive,
+        point_batch, round_batch, _QueryMode.DEPTH)
     pnx = (px - (camera.width - 1) / 2.0) / camera.fx
     pny = (py - (camera.height - 1) / 2.0) / camera.fy
     rln = jax.lax.rsqrt(pnx * pnx + pny * pny + 1.0)
@@ -236,84 +380,31 @@ def sample_depth(points: jax.Array,
                 inside=in_r & inside0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "point_batch"))
+@partial(jax.jit, static_argnames=("cfg", "point_batch", "round_batch"))
 def evaluate_sdf(points: jax.Array,
                  means3d, scales, rotations, opacities,
                  camera: Camera, cfg: RasterConfig,
-                 alive=None, point_batch: int = 4096):
+                 alive=None, point_batch: int = 1024, round_batch: int = 64):
     """Single-view SDF: median ray depth at the point's pixel minus the
     point's own ray depth (evaluateSDFCUDA, sample_forward.cu:171-428; bound
     as `evaluate_sdf_from_signle_view` in ext.cpp:18).
     Returns dict(sdf [Q], depth [Q] median ray distance, inside [Q])."""
-    q = points.shape[0]
-    cfg = dataclasses.replace(cfg, sh_degree=0, sg_degree=0)
-    shs = jnp.zeros((means3d.shape[0], 1, 3))
-    prep = preprocess(means3d, scales, rotations, opacities, shs,
-                      None, None, None, camera, cfg, alive)
-    binning = bin_gaussians(prep, cfg, camera.width, camera.height)
-    feats_pairs = render_ref.prepare_pairs(prep, binning, cfg)
-
-    px, py, t_ray, inside0 = _project_points(points, camera, cfg)
-    tile = _point_tile(px, py, camera, cfg)
-    start = binning.tile_start[tile]
-    count = jnp.where(inside0, binning.tile_count[tile], 0)
-
-    pad = (-q) % point_batch
-    def padded(x):
-        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
-    n_batches = (q + pad) // point_batch
-    arrs = tuple(map(padded, (start, count, px, py)))
-
-    def one_point(s, c, x, y):
-        m = _march(feats_pairs, s, c, x, y, cfg)
-        md, in_range = _bisect_point(feats_pairs, s, m["n_contrib"],
-                                     m["md_init"], m["t_final"], x, y, cfg)
-        return md, in_range
-
-    def batch(_, b):
-        sl = lambda z: jax.lax.dynamic_slice_in_dim(z, b * point_batch, point_batch)
-        return None, jax.vmap(one_point)(*map(sl, arrs))
-
-    _, (md, in_r) = jax.lax.scan(batch, None, jnp.arange(n_batches))
-    md = md.reshape(-1)[:q]
-    in_r = in_r.reshape(-1)[:q]
+    md, in_r, _px, _py, t_ray, inside0 = _query(
+        points, means3d, scales, rotations, opacities, camera, cfg, alive,
+        point_batch, round_batch, _QueryMode.DEPTH)
     return dict(sdf=md - t_ray, depth=md, inside=in_r & inside0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "point_batch"))
+@partial(jax.jit, static_argnames=("cfg", "point_batch", "round_batch"))
 def integrate(points: jax.Array,
               means3d, scales, rotations, opacities,
               camera: Camera, cfg: RasterConfig,
-              alive=None, point_batch: int = 4096):
+              alive=None, point_batch: int = 1024, round_batch: int = 64):
     """Transmittance of each query point along its camera ray
     (evaluateTransmittanceCUDA). Returns dict(alpha [Q], inside [Q])."""
-    q = points.shape[0]
-    cfg0 = dataclasses.replace(cfg, sh_degree=0, sg_degree=0)
-    shs = jnp.zeros((means3d.shape[0], 1, 3))
-    prep = preprocess(means3d, scales, rotations, opacities, shs,
-                      None, None, None, camera, cfg0, alive)
-    binning = bin_gaussians(prep, cfg0, camera.width, camera.height)
-    feats_pairs = render_ref.prepare_pairs(prep, binning, cfg0)
-
-    px, py, t_ray, inside0 = _project_points(points, camera, cfg0)
-    tile = _point_tile(px, py, camera, cfg0)
-    start = binning.tile_start[tile]
-    count = jnp.where(inside0, binning.tile_count[tile], 0)
-
-    pad = (-q) % point_batch
-    def padded(x):
-        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
-    n_batches = (q + pad) // point_batch
-    arrs = tuple(map(padded, (start, count, px, py, t_ray)))
-
-    def one_point(s, c, x, y, t):
-        m = _march(feats_pairs, s, c, x, y, cfg0, eval_t=t)
-        return m["t_point"]
-
-    def batch(_, b):
-        sl = lambda z: jax.lax.dynamic_slice_in_dim(z, b * point_batch, point_batch)
-        return None, jax.vmap(one_point)(*map(sl, arrs))
-
-    _, tp = jax.lax.scan(batch, None, jnp.arange(n_batches))
-    tp = tp.reshape(-1)[:q]
+    tp, covered, _px, _py, _t, inside0 = _query(
+        points, means3d, scales, rotations, opacities, camera, cfg, alive,
+        point_batch, round_batch, _QueryMode.INTEGRATE)
+    # points outside the frustum keep T=1 (alpha 0)
+    tp = jnp.where(covered & inside0, tp, 1.0)
     return dict(alpha=1.0 - tp, transmittance=tp, inside=inside0)

@@ -50,12 +50,16 @@ def ssim(img1, img2, window_size=11, sigma=1.5):
     mu1 = _blur_valid(img1, win)
     mu2 = _blur_valid(img2, win)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _blur_valid(img1 * img1, win) - mu1_sq
-    s2 = _blur_valid(img2 * img2, win) - mu2_sq
+    # E[x^2]-mu^2 cancels catastrophically in f32 once renders transiently
+    # exceed [0,1] (early training): variances go negative, the denominator
+    # can cross zero and SSIM explodes past 1 (observed as a negative total
+    # loss). True variances are >= 0; clamp, and bound the map to [-1, 1].
+    s1 = jnp.maximum(_blur_valid(img1 * img1, win) - mu1_sq, 0.0)
+    s2 = jnp.maximum(_blur_valid(img2 * img2, win) - mu2_sq, 0.0)
     s12 = _blur_valid(img1 * img2, win) - mu12
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
-    return jnp.mean(ssim_map)
+    return jnp.mean(jnp.clip(ssim_map, -1.0, 1.0))
 
 
 def depth_to_normal(depth, fx, fy, cx, cy):
