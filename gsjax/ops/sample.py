@@ -146,14 +146,17 @@ def _march_rounds(feats_pairs, gs, gc, pxr, pyr, cfg: RasterConfig, etr=None):
 
 
 def _use_pallas(cfg: RasterConfig) -> bool:
-    """Point-query backend choice. Unlike the render blend (api._use_pallas),
-    "auto" stays on the XLA path until the point kernels have more TPU
-    mileage; opt in with backend="pallas" or GSJAX_SAMPLE_BACKEND=pallas."""
+    """Point-query backend choice (same convention as api._use_pallas);
+    GSJAX_SAMPLE_BACKEND=ref|pallas overrides for A/B runs."""
     import os
     env = os.environ.get("GSJAX_SAMPLE_BACKEND", "")
     if env in ("ref", "pallas"):
         return env == "pallas"
-    return cfg.backend == "pallas"
+    if cfg.backend == "ref":
+        return False
+    if cfg.backend == "pallas":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _query(points, means3d, scales, rotations, opacities, camera, cfg,
