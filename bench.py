@@ -50,8 +50,11 @@ def main():
     bg = jnp.zeros(3)
     args = tuple(map(jnp.asarray, (means, scales, quats, opac, shs)))
 
+    # gt is an ARGUMENT, not a closure: device-resident closure constants are
+    # fetched back host-side at lowering (ir_constant) — minutes over the
+    # axon relay for a 24MB image.
     @jax.jit
-    def fwd_bwd(means, scales, quats, opac, shs):
+    def fwd_bwd(means, scales, quats, opac, shs, gt, bg):
         def loss_fn(m, s, q, o, c):
             out = render(m, s, q, o, c, cam, cfg, bg)
             ll1 = losses.l1_loss(out["render"], gt)
@@ -62,6 +65,7 @@ def main():
             means, scales, quats, opac, shs)
         return loss, grads
 
+    args = args + (gt, bg)
     # warmup / compile
     loss, grads = fwd_bwd(*args)
     jax.block_until_ready(loss)

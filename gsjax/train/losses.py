@@ -29,19 +29,23 @@ def psnr(img, gt):
 
 
 def _gaussian_window(size=11, sigma=1.5):
+    # numpy on purpose: a jnp constant would live on the device and lowering
+    # would fetch it back host-side (ir_constant) — minutes over the axon
+    # relay. Host constants embed directly into the MLIR.
     g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2 * sigma ** 2))
-    return jnp.asarray((g / g.sum()).astype(np.float32))
+    return (g / g.sum()).astype(np.float32)
 
 
 def _blur_valid(img, win):
-    """Separable valid-mode gaussian filter. img: [H,W,C]."""
+    """Separable valid-mode gaussian filter. img: [H,W,C].
+
+    Shift-and-add instead of conv_general_dilated: the first conv-transpose
+    lowering stalls for minutes (once per process) on the axon TPU platform,
+    and an 11-tap blur is a handful of fused slice+mul+adds either way."""
     k = win.shape[0]
-    x = jnp.moveaxis(img, -1, 0)[:, None]          # [C,1,H,W]
-    kern_h = win.reshape(1, 1, k, 1)
-    kern_w = win.reshape(1, 1, 1, k)
-    x = jax.lax.conv_general_dilated(x, kern_h, (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, kern_w, (1, 1), "VALID")
-    return jnp.moveaxis(x[:, 0], 0, -1)            # [H-k+1, W-k+1, C]
+    h, w = img.shape[0], img.shape[1]
+    x = sum(win[i] * img[:, i:w - k + 1 + i] for i in range(k))
+    return sum(win[i] * x[i:h - k + 1 + i, :] for i in range(k))
 
 
 def ssim(img1, img2, window_size=11, sigma=1.5):
