@@ -80,6 +80,30 @@ def _tri_strict():
     return (c < r).astype(_f32)
 
 
+import os as _os
+
+_PREFIX_IMPL = _os.environ.get("GSJAX_PREFIX_IMPL", "shift")
+
+
+def _prefix_incl(tri, x):
+    """Inclusive prefix sum along the gaussian (sublane) axis of [G, P]."""
+    if _PREFIX_IMPL == "shift":
+        rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        s = 1
+        while s < G:
+            x = x + jnp.where(rows >= s, pltpu.roll(x, s, 0), 0.0)
+            s *= 2
+        return x
+    return _mm(tri, x) + x
+
+
+def _prefix_excl(tri, x):
+    """Exclusive prefix sum along the gaussian axis of [G, P]."""
+    if _PREFIX_IMPL == "shift":
+        return _prefix_incl(tri, x) - x
+    return _mm(tri, x)
+
+
 def _eye16():
     return (jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 0) ==
             jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 1)).astype(_f32)
@@ -313,7 +337,7 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
         rel = _rel_ids(c)
         a, _, passes = ch.alpha(cfg, rel, count)
         l1m = jnp.log1p(-a)
-        exc = _mm(tri, l1m)                      # exclusive prefix
+        exc = _prefix_excl(tri, l1m)
         keep = (log_t + exc + l1m) >= log_tmin
         t_prev = jnp.exp(log_t + exc)
         w = a * t_prev * keep
@@ -505,7 +529,7 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
         rel = _rel_ids(c)
         a, a_raw, passes = ch.alpha(cfg, rel, count)
         l1m = jnp.log1p(-a)
-        exc = _mm(tri, l1m)
+        exc = _prefix_excl(tri, l1m)
         keep = (log_t + exc + l1m) >= log_tmin
         t_prev = jnp.exp(log_t + exc)
         w = a * t_prev * keep
@@ -516,7 +540,7 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
         cn = jnp.concatenate(
             [ch.cols[:, 6:9], ch.cols[:, 13:16]], axis=1)   # [G, 6]
         q = _dot(cn, gcgn, ((1,), (0,)))             # [G, P]
-        wq = _mm(tri, w * q) + w * q + pq_carry      # inclusive prefix + carry
+        wq = _prefix_incl(tri, w * q) + pq_carry     # inclusive prefix + carry
         d_a = t_prev * q - inv_1ma * ((s_q - wq) + t_final * gamma)
         d_a = jnp.where(applied, d_a, 0.0)
 

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gsjax.ops.raster.config import RasterConfig
 from gsjax.ops.raster.render_pallas import (
     _F, G, _f32, _Chunk, _col_sum, _dot, _eye16, _median_model,
-    _median_search, _mm, _rel_ids, _start_copy, _tri_strict)
+    _median_search, _mm, _prefix_excl, _rel_ids, _start_copy, _tri_strict)
 
 P_ROWS = 4   # point payload rows: px, py, eval_t, pad
 O_ROWS = 8   # output rows: value, flag, n_contrib, md_init, t_final, 0, 0, 0
@@ -97,7 +97,7 @@ def _sfwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, out_ref,
         rel = _rel_ids(c)
         a, _, passes = ch.alpha(cfg, rel, count)
         l1m = jnp.log1p(-a)
-        exc = _mm(tri, l1m)
+        exc = _prefix_excl(tri, l1m)
         keep = (log_t + exc + l1m) >= log_tmin
         t_prev = jnp.exp(log_t + exc)
         applied = passes & keep

@@ -49,19 +49,21 @@ def stage1(*a):
 
 feats_t, starts, counts = jax.block_until_ready(stage1(*args))
 
+# device arrays go in as ARGUMENTS — closure constants are re-fetched
+# host-side at lowering over the slow relay (see losses._gaussian_window)
 tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-fwd = jax.jit(lambda ft: render_pallas._fwd_call(
-    ft, tile_ids, starts, counts, cam_params, cfg, tiles_x, n_tiles, False))
-out = jax.block_until_ready(fwd(feats_t))
+fwd = jax.jit(lambda ft, ti, st, ct, cp: render_pallas._fwd_call(
+    ft, ti, st, ct, cp, cfg, tiles_x, n_tiles, False))
+out = jax.block_until_ready(fwd(feats_t, tile_ids, starts, counts, cam_params))
 
 g_out = jnp.ones_like(out)
-bwdk = jax.jit(lambda ft, o, g: render_pallas._bwd_call(
-    ft, tile_ids, starts, counts, cam_params, o, g, cfg, tiles_x, n_tiles, False))
-d_blocks = jax.block_until_ready(bwdk(feats_t, out, g_out))
+bwdk = jax.jit(lambda ft, ti, st, ct, cp, o, g: render_pallas._bwd_call(
+    ft, ti, st, ct, cp, o, g, cfg, tiles_x, n_tiles, False))
+d_blocks = jax.block_until_ready(bwdk(feats_t, tile_ids, starts, counts, cam_params, out, g_out))
 
-full_bwd = jax.jit(lambda ft, o, g: render_pallas._blend_bwd(
-    cfg, tiles_x, n_tiles, False, (ft, tile_ids, starts, counts, cam_params, o), g)[0])
-_ = jax.block_until_ready(full_bwd(feats_t, out, g_out))
+full_bwd = jax.jit(lambda ft, ti, st, ct, cp, o, g: render_pallas._blend_bwd(
+    cfg, tiles_x, n_tiles, False, (ft, ti, st, ct, cp, o), g)[0])
+_ = jax.block_until_ready(full_bwd(feats_t, tile_ids, starts, counts, cam_params, out, g_out))
 
 
 def tf(f, *a, label=""):
@@ -73,6 +75,6 @@ def tf(f, *a, label=""):
 
 
 tf(stage1, *args, label="stage1 (prep+bin+pack)")
-tf(fwd, feats_t, label="fwd kernel            ")
-tf(bwdk, feats_t, out, g_out, label="bwd kernel            ")
-tf(full_bwd, feats_t, out, g_out, label="bwd kernel + regather ")
+tf(fwd, feats_t, tile_ids, starts, counts, cam_params, label="fwd kernel            ")
+tf(bwdk, feats_t, tile_ids, starts, counts, cam_params, out, g_out, label="bwd kernel            ")
+tf(full_bwd, feats_t, tile_ids, starts, counts, cam_params, out, g_out, label="bwd kernel + regather ")
