@@ -196,11 +196,12 @@ def fuse_tsdf(depths, colors, views, voxel_size=0.002, depth_trunc=8.0,
     tsdf = jnp.zeros(tuple(dims))
     weight = jnp.zeros(tuple(dims))
     color = jnp.zeros(tuple(dims) + (3,))
-    origin = jnp.asarray(lo)
 
-    xs = origin[0] + voxel_size * jnp.arange(dims[0])
-    ys = origin[1] + voxel_size * jnp.arange(dims[1])
-    zs = origin[2] + voxel_size * jnp.arange(dims[2])
+    # numpy: these are closed over by the jit below, and device-array closure
+    # constants stall lowering on the axon relay (see camera.py)
+    xs = (lo[0] + voxel_size * np.arange(dims[0])).astype(np.float32)
+    ys = (lo[1] + voxel_size * np.arange(dims[1])).astype(np.float32)
+    zs = (lo[2] + voxel_size * np.arange(dims[2])).astype(np.float32)
 
     @jax.jit
     def integrate_view(tsdf, weight, color, depth_img, color_img, wv, fx, fy, cx, cy):

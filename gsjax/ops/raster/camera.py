@@ -45,16 +45,20 @@ class Camera:
         proj = transforms.projection_matrix(znear, zfar, fovx, fovy)
         full = proj @ wv
         c2w = np.linalg.inv(wv)
+        # numpy leaves on purpose: cameras get closed over in jitted/shard_mapped
+        # code, and device-array closure constants are fetched back host-side at
+        # lowering — a multi-minute stall per constant over the axon relay.
+        # numpy embeds into the MLIR directly (and converts on use otherwise).
         return Camera(
-            world_view=jnp.asarray(wv),
-            full_proj=jnp.asarray(full),
-            campos=jnp.asarray(c2w[:3, 3]),
-            fx=jnp.float32(transforms.fov2focal(fovx, width)),
-            fy=jnp.float32(transforms.fov2focal(fovy, height)),
-            cx=jnp.float32((width - 1) / 2),
-            cy=jnp.float32((height - 1) / 2),
-            tan_fovx=jnp.float32(math.tan(fovx * 0.5)),
-            tan_fovy=jnp.float32(math.tan(fovy * 0.5)),
+            world_view=np.asarray(wv, np.float32),
+            full_proj=np.asarray(full, np.float32),
+            campos=np.asarray(c2w[:3, 3], np.float32),
+            fx=np.float32(transforms.fov2focal(fovx, width)),
+            fy=np.float32(transforms.fov2focal(fovy, height)),
+            cx=np.float32((width - 1) / 2),
+            cy=np.float32((height - 1) / 2),
+            tan_fovx=np.float32(math.tan(fovx * 0.5)),
+            tan_fovy=np.float32(math.tan(fovy * 0.5)),
             width=int(width),
             height=int(height),
         )
