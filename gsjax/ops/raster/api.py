@@ -64,6 +64,17 @@ def _render_tiles_pallas(prep, binning, camera: Camera, cfg: RasterConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def mark_visible(means3d: jax.Array, camera: Camera,
+                 cfg: RasterConfig = RasterConfig()) -> jax.Array:
+    """[N] bool frustum visibility of gaussian centres — the viewer's
+    coarse cull (`markVisible`, rasterizer_impl.cu:214-233, ext.cpp:22;
+    in_frustum test auxiliary.h:133-153: view-space z > 0.2)."""
+    wv = camera.world_view
+    z = means3d @ wv[2, :3] + wv[2, 3]
+    return z > cfg.near_plane
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def render(means3d: jax.Array,
            scales: jax.Array,
            rotations: jax.Array,

@@ -295,9 +295,25 @@ def run_training(lp, op, pp, args):
     test_iters.add(op.iterations)
     save_iters.add(op.iterations)
 
+    # TensorBoard scalars, mirroring training_report (train.py:296-379);
+    # soft dependency so headless/minimal installs still train.
+    tb = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        tb = SummaryWriter(lp.model_path)
+    except Exception:
+        pass
+    profile_iter = int(getattr(args, "profile_iter", 0) or 0)
+
     ema = 0.0
     t0 = time.time()
     while trainer.iteration < op.iterations:
+        if profile_iter and trainer.iteration + 1 == profile_iter:
+            # jax.profiler trace of 5 steps (SURVEY section 5: tracing —
+            # replaces the reference's cuda-event iter timing)
+            with jax.profiler.trace(os.path.join(lp.model_path, "profile")):
+                for _ in range(5):
+                    metrics = trainer.step()
         metrics = trainer.step()
         it = trainer.iteration
         ema = 0.4 * float(metrics["loss"]) + 0.6 * ema
@@ -306,14 +322,33 @@ def run_training(lp, op, pp, args):
             print(f"[{it}] loss={ema:.4f} n={int(jnp.sum(trainer.aux.alive))} "
                   f"pairs={int(metrics['num_pairs'])} {100/dt:.2f} it/s",
                   flush=True)
+            if tb is not None:
+                tb.add_scalar("train_loss_patches/total_loss", ema, it)
+                for k, tag in (("l1", "train_loss_patches/l1_loss"),
+                               ("dn_loss", "train_loss_patches/normal_loss"),
+                               ("ncc_loss", "train_loss_patches/ncc_loss"),
+                               ("geo_loss", "train_loss_patches/geo_loss")):
+                    if k in metrics:
+                        tb.add_scalar(tag, float(metrics[k]), it)
+                tb.add_scalar("total_points",
+                              int(jnp.sum(trainer.aux.alive)), it)
+                tb.add_scalar("iter_time", dt / 100.0 * 1000.0, it)
             t0 = time.time()
         if it in test_iters and scene.test_views:
             psnr = trainer.evaluate(scene.test_views)
             print(f"[{it}] test PSNR {psnr:.3f}", flush=True)
             with open(os.path.join(lp.model_path, f"chkpnt{it}.txt"), "w") as f:
                 f.write(f"[ITER {it}] Evaluating test: PSNR {psnr}\n")
+            if tb is not None:
+                tb.add_scalar("test/psnr", psnr, it)
+                op_np = np.asarray(gm.get_opacity(trainer.params))[
+                    np.asarray(trainer.aux.alive)]
+                if op_np.size:
+                    tb.add_histogram("scene/opacity_histogram", op_np, it)
         if it in save_iters:
             trainer.save_model()
         if it in ckpt_iters:
             trainer.save_ckpt()
+    if tb is not None:
+        tb.close()
     return trainer

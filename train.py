@@ -22,6 +22,9 @@ def main():
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[15000])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile_iter", type=int, default=0,
+                        help="jax.profiler-trace 5 steps starting here "
+                             "(writes <model_path>/profile)")
     args = parser.parse_args(sys.argv[1:])
     args.save_iterations.append(args.iterations)
     args.test_iterations.append(args.iterations)
