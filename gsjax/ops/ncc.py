@@ -57,26 +57,29 @@ def warp_patch_ncc(depth: jax.Array,
                    intr_r: jax.Array,
                    intr_n: jax.Array,
                    radius: int = 3,
-                   half_step: bool = True):
-    """Dense NCC^2 over the reference image.
+                   half_step: bool = True,
+                   row_offset: jax.Array | int = 0):
+    """Dense NCC^2 over the reference image (or a horizontal band of it).
 
     Args:
-      depth: [H,W] per-pixel depth in the ref view (z-depth).
-      normal: [H,W,3] camera-space unit normals (ref view).
-      gray_r/gray_n: [H,W] luma images.
+      depth: [Hs,W] per-pixel depth in the ref view (z-depth); may be a
+        row band starting at `row_offset` of the full frame (sharded use).
+      normal: [Hs,W,3] camera-space unit normals (ref view).
+      gray_r/gray_n: [H,W] FULL luma images (patch taps read globally).
       rel_rot: [3,3] ref-cam -> neighbour-cam rotation; rel_t: [3].
       intr_r/intr_n: (fx, fy, cx, cy).
 
-    Returns (ncc [H,W] squared correlation in [0,1], valid [H,W] bool).
+    Returns (ncc [Hs,W] squared correlation in [0,1], valid [Hs,W] bool).
     """
-    h, w = gray_r.shape
+    hs, w = depth.shape
+    h, _ = gray_r.shape
     hn, wn = gray_n.shape
     fx_r, fy_r, cx_r, cy_r = intr_r
     fx_n, fy_n, cx_n, cy_n = intr_n
     rf = radius * (0.5 if half_step else 1.0)
 
-    u = jnp.arange(w, dtype=jnp.float32)[None, :].repeat(h, 0)
-    v = jnp.arange(h, dtype=jnp.float32)[:, None].repeat(w, 1)
+    u = jnp.arange(w, dtype=jnp.float32)[None, :].repeat(hs, 0)
+    v = (jnp.arange(hs, dtype=jnp.float32) + row_offset)[:, None].repeat(w, 1)
     pn = jnp.stack([(u - cx_r) / fx_r, (v - cy_r) / fy_r, jnp.ones_like(u)], -1)
     distance = -jnp.sum(pn * normal, -1) * depth                  # [H,W]
     dist_safe = jnp.where(jnp.abs(distance) > 1e-12, distance, 1e-12)
@@ -99,7 +102,7 @@ def warp_patch_ncc(depth: jax.Array,
                       jnp.stack([u, v, jnp.ones_like(u)], -1),
                       precision=jax.lax.Precision.HIGHEST)        # [H,W,3]
 
-    stats = jnp.zeros((5, h, w))
+    stats = jnp.zeros((5, hs, w))
     all_inside = ((u - rf > 0) & (u + rf < w - 1)
                   & (v - rf > 0) & (v + rf < h - 1))
 

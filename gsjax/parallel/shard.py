@@ -152,19 +152,32 @@ def render_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
 
 def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                        adam: gm.AdamState, camera: Camera, gt_image, bg,
-                       lrs, cfg: RasterConfig, loss_cfg: LossConfig, mesh: Mesh):
+                       lrs, cfg: RasterConfig, loss_cfg: LossConfig, mesh: Mesh,
+                       near_cam: Camera | None = None,
+                       gray_r=None, gray_n=None):
     """Sharded train step: per-device tile blend, psum'd parameter grads,
-    replicated Adam update."""
+    replicated Adam update. When a neighbour view is given and
+    loss_cfg.mv_on, the PGSR multi-view terms run band-sharded: each device
+    samples the neighbour depth for its own horizontal band of the frame and
+    the masked sums are psum'd (SURVEY section 2.3)."""
     n_dev = mesh.devices.size
     tiles_x, tiles_y = cfg.grid(camera.width, camera.height)
     num_tiles = tiles_x * tiles_y
     t_pad = -(-num_tiles // n_dev) * n_dev
     tile_ids = jnp.arange(t_pad, dtype=jnp.int32).reshape(n_dev, -1)
+    mv_on = (loss_cfg.reg_on and loss_cfg.mv_on and cfg.require_depth
+             and near_cam is not None
+             and (loss_cfg.lambda_mv_ncc > 0 or loss_cfg.lambda_mv_geo > 0))
+    if gray_r is None:
+        gray_r = jnp.zeros((camera.height, camera.width))
+    if gray_n is None:
+        gray_n = jnp.zeros((camera.height, camera.width))
+    band = -(-camera.height // n_dev)          # rows per device
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), P(), P(AXIS)),
+             in_specs=(P(), P(), P(), P(), P(AXIS), P(), P()),
              out_specs=(P(), P()), check_vma=False)
-    def run(p, aux_, gt, bg_, my_tiles):
+    def run(p, aux_, gt, bg_, my_tiles, gr, gn):
         def loss_fn(p_):
             scales, opac = gm.scaling_n_opacity_with_3d_filter(p_, aux_.filter_3d)
             prep = preprocess(p_.xyz, scales, p_.rotation, opac,
@@ -181,15 +194,41 @@ def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
             ssim_val = losses.ssim(img, gt)
             loss = (1 - loss_cfg.lambda_dssim) * ll1 + \
                 loss_cfg.lambda_dssim * (1 - ssim_val)
-            if loss_cfg.reg_on and loss_cfg.lambda_depth_normal > 0 and cfg.require_depth:
+            need_geom = loss_cfg.reg_on and cfg.require_depth and (
+                loss_cfg.lambda_depth_normal > 0 or mv_on)
+            if need_geom:
                 depth = _tiles_to_image(full["median_depth"], tiles_x, tiles_y,
                                         camera.width, camera.height, cfg)
                 nrm = _tiles_to_image(full["normal"], tiles_x, tiles_y,
                                       camera.width, camera.height, cfg)
+            if loss_cfg.reg_on and loss_cfg.lambda_depth_normal > 0 and cfg.require_depth:
                 dnormal, valid = losses.depth_to_normal(
                     depth, camera.fx, camera.fy, camera.cx, camera.cy)
                 loss = loss + loss_cfg.lambda_depth_normal * \
                     losses.depth_normal_loss(nrm, dnormal, valid)
+            if mv_on:
+                from gsjax.train.multiview import patchmatch_terms
+                # this device's horizontal band (pad rows -> depth 0 -> masked)
+                r0 = jax.lax.axis_index(AXIS) * band
+                pad_rows = band * n_dev - camera.height
+                dep_p = jnp.pad(depth, ((0, pad_rows), (0, 0)))
+                nrm_p = jnp.pad(nrm, ((0, pad_rows), (0, 0), (0, 0)))
+                dep_b = jax.lax.dynamic_slice_in_dim(dep_p, r0, band, 0)
+                nrm_b = jax.lax.dynamic_slice_in_dim(nrm_p, r0, band, 0)
+                ncc_s, ncc_c, geo_s, geo_c = patchmatch_terms(
+                    dep_b, nrm_b, p_.xyz, scales, p_.rotation, opac,
+                    aux_.alive, camera, near_cam, gr, gn, cfg,
+                    loss_cfg.pixel_noise_th, loss_cfg.patch_size,
+                    row_offset=r0)
+                ncc_s = jax.lax.psum(ncc_s, AXIS)
+                ncc_c = jax.lax.psum(ncc_c, AXIS)
+                geo_s = jax.lax.psum(geo_s, AXIS)
+                geo_c = jax.lax.psum(geo_c, AXIS)
+                any_mask = geo_c > 0
+                ncc_l = jnp.where(any_mask, ncc_s / jnp.maximum(ncc_c, 1), 0.0)
+                geo_l = jnp.where(any_mask, geo_s / jnp.maximum(geo_c, 1), 0.0)
+                loss = loss + loss_cfg.lambda_mv_ncc * ncc_l \
+                    + loss_cfg.lambda_mv_geo * geo_l
             return loss
 
         loss, gp = jax.value_and_grad(loss_fn)(p)
@@ -201,6 +240,6 @@ def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
         gp = jax.tree_util.tree_map(_mask, gp)
         return loss, gp
 
-    loss, gp = run(params, aux, gt_image, bg, tile_ids)
+    loss, gp = run(params, aux, gt_image, bg, tile_ids, gray_r, gray_n)
     params, adam = gm.adam_update(params, gp, adam, lrs)
     return params, adam, loss

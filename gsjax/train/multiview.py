@@ -10,6 +10,11 @@ the frame with validity masks instead of gather/compact (static shapes):
      is the geometric loss (weights exp(-err), masked at pixel_noise_th),
   4. NCC^2 of plane-warped 7x7 half-step patches between the two gray images,
      masked where 1-ncc >= 0.9 or geometry is inconsistent.
+
+`patchmatch_terms` operates on a horizontal *band* of the reference frame and
+returns masked sums + counts, so a tile-sharded train step can give each
+device its own band and psum the terms (gsjax/parallel/shard.py); the
+full-frame `patchmatch_losses` wrapper keeps the single-chip interface.
 """
 
 from __future__ import annotations
@@ -33,21 +38,26 @@ def _invert_rigid(wv):
     return inv
 
 
-def patchmatch_losses(median_depth: jax.Array,
-                      normal: jax.Array,
-                      means3d, scales, rotations, opacities, alive,
-                      ref_cam: Camera, near_cam: Camera,
-                      gray_r: jax.Array, gray_n: jax.Array,
-                      cfg: RasterConfig,
-                      pixel_noise_th: float = 1.0,
-                      patch_size: int = 3):
-    """Returns (ncc_loss, geo_loss) scalars."""
-    h, w = median_depth.shape
+def patchmatch_terms(median_depth: jax.Array,
+                     normal: jax.Array,
+                     means3d, scales, rotations, opacities, alive,
+                     ref_cam: Camera, near_cam: Camera,
+                     gray_r: jax.Array, gray_n: jax.Array,
+                     cfg: RasterConfig,
+                     pixel_noise_th: float = 1.0,
+                     patch_size: int = 3,
+                     row_offset: jax.Array | int = 0):
+    """Band-level PGSR terms.
+
+    median_depth/normal: [Hs,W(,3)] rows `row_offset..row_offset+Hs` of the
+    reference frame; gray_r/gray_n: FULL [H,W] luma images.
+    Returns (ncc_sum, ncc_cnt, geo_sum, geo_cnt) scalars (masked sums)."""
+    hs, w = median_depth.shape
     fx, fy, cx, cy = ref_cam.fx, ref_cam.fy, ref_cam.cx, ref_cam.cy
 
-    # 1. backproject ref median depth -> world points (loss_utils.py:146-159)
+    # 1. backproject the band's median depth -> world points (loss_utils.py:146-159)
     xs = (jnp.arange(w, dtype=jnp.float32) - cx) / fx
-    ys = (jnp.arange(h, dtype=jnp.float32) - cy) / fy
+    ys = (jnp.arange(hs, dtype=jnp.float32) + row_offset - cy) / fy
     pts_cam = jnp.stack([median_depth * xs[None, :], median_depth * ys[:, None],
                          median_depth], axis=-1)
     inv_r = _invert_rigid(ref_cam.world_view)
@@ -57,8 +67,8 @@ def patchmatch_losses(median_depth: jax.Array,
     # 2. sample the neighbour's median depth along each point's ray
     res = sample_depth(pts_world.reshape(-1, 3), means3d, scales, rotations,
                        opacities, near_cam, cfg, alive)
-    pts_near = res["point_cam"].reshape(h, w, 3)
-    inside = res["inside"].reshape(h, w)
+    pts_near = res["point_cam"].reshape(hs, w, 3)
+    inside = res["inside"].reshape(hs, w)
 
     # 3. reproject into the ref view
     rel = ref_cam.world_view @ _invert_rigid(near_cam.world_view)  # near->ref
@@ -68,7 +78,7 @@ def patchmatch_losses(median_depth: jax.Array,
     u = pts_ref[..., 0] / z * fx + cx
     v = pts_ref[..., 1] / z * fy + cy
     uu = jnp.arange(w, dtype=jnp.float32)[None, :]
-    vv = jnp.arange(h, dtype=jnp.float32)[:, None]
+    vv = (jnp.arange(hs, dtype=jnp.float32) + row_offset)[:, None]
     pixel_noise = jnp.sqrt((u - uu) ** 2 + (v - vv) ** 2 + 1e-12)
 
     d_mask = jax.lax.stop_gradient(
@@ -77,10 +87,10 @@ def patchmatch_losses(median_depth: jax.Array,
     weights = jax.lax.stop_gradient(
         jnp.where(d_mask, jnp.exp(-pixel_noise), 0.0))
 
-    cnt = jnp.maximum(jnp.sum(d_mask), 1)
-    geo_loss = jnp.sum(jnp.where(d_mask, weights * pixel_noise, 0.0)) / cnt
+    geo_cnt = jnp.sum(d_mask)
+    geo_sum = jnp.sum(jnp.where(d_mask, weights * pixel_noise, 0.0))
 
-    # 4. NCC over the masked pixels (dense, loss_utils.py:227-267)
+    # 4. NCC over the masked band pixels (dense, loss_utils.py:227-267)
     # double-where: norm() has NaN gradient at 0-normals (empty pixels)
     nrm2 = jnp.sum(normal * normal, axis=-1, keepdims=True)
     good = nrm2 > 1e-20
@@ -91,12 +101,28 @@ def patchmatch_losses(median_depth: jax.Array,
         rel_rn[:3, :3], rel_rn[:3, 3],
         (fx, fy, cx, cy),
         (near_cam.fx, near_cam.fy, near_cam.cx, near_cam.cy),
-        radius=patch_size)
+        radius=patch_size, row_offset=row_offset)
     ncc = jnp.clip(1.0 - cc, 0.0, 2.0)
     ncc_mask = jax.lax.stop_gradient((ncc < 0.9) & cc_valid & d_mask)
-    ncnt = jnp.maximum(jnp.sum(ncc_mask), 1)
-    ncc_loss = jnp.sum(jnp.where(ncc_mask, ncc * weights, 0.0)) / ncnt
+    ncc_cnt = jnp.sum(ncc_mask)
+    ncc_sum = jnp.sum(jnp.where(ncc_mask, ncc * weights, 0.0))
+    return ncc_sum, ncc_cnt, geo_sum, geo_cnt
 
-    any_mask = jnp.sum(d_mask) > 0
+
+def patchmatch_losses(median_depth: jax.Array,
+                      normal: jax.Array,
+                      means3d, scales, rotations, opacities, alive,
+                      ref_cam: Camera, near_cam: Camera,
+                      gray_r: jax.Array, gray_n: jax.Array,
+                      cfg: RasterConfig,
+                      pixel_noise_th: float = 1.0,
+                      patch_size: int = 3):
+    """Full-frame wrapper. Returns (ncc_loss, geo_loss) scalars."""
+    ncc_sum, ncc_cnt, geo_sum, geo_cnt = patchmatch_terms(
+        median_depth, normal, means3d, scales, rotations, opacities, alive,
+        ref_cam, near_cam, gray_r, gray_n, cfg, pixel_noise_th, patch_size)
+    geo_loss = geo_sum / jnp.maximum(geo_cnt, 1)
+    ncc_loss = ncc_sum / jnp.maximum(ncc_cnt, 1)
+    any_mask = geo_cnt > 0
     return (jnp.where(any_mask, ncc_loss, 0.0),
             jnp.where(any_mask, geo_loss, 0.0))

@@ -20,7 +20,10 @@ def random_gaussians(n: int, seed: int = 0, spread: float = 1.0, center_z: float
     return means, scales, q, opacities, shs
 
 
-def look_at_camera(width=96, height=64, fovx=0.9, fovy=0.7):
+def look_at_camera(width=96, height=64, fovx=0.9, fovy=0.7, angle=0.0):
     R = np.eye(3, dtype=np.float32)   # camera at origin looking +z
+    if angle:
+        c, s = np.cos(angle), np.sin(angle)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
     T = np.zeros(3, dtype=np.float32)
     return Camera.create(R, T, fovx, fovy, width, height)
