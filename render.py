@@ -16,15 +16,26 @@ def save_png(path, arr):
     Image.fromarray((np.clip(np.asarray(arr), 0, 1) * 255).astype(np.uint8)).save(path)
 
 
-def render_set(model_path, name, iteration, views, render_fn):
+def render_set(model_path, name, iteration, views, render_fn,
+               save_depth=False):
     renders_path = os.path.join(model_path, name, f"ours_{iteration}", "renders")
     gts_path = os.path.join(model_path, name, f"ours_{iteration}", "gt")
     os.makedirs(renders_path, exist_ok=True)
     os.makedirs(gts_path, exist_ok=True)
+    if save_depth:
+        depth_path = os.path.join(model_path, name, f"ours_{iteration}", "depth")
+        os.makedirs(depth_path, exist_ok=True)
     for idx, view in enumerate(views):
         out = render_fn(view)
         save_png(os.path.join(renders_path, f"{idx:05d}.png"), out["render"])
         save_png(os.path.join(gts_path, f"{idx:05d}.png"), view.image)
+        if save_depth:
+            from PIL import Image
+
+            from gsjax.utils.trajectories import apply_depth_colormap
+            Image.fromarray(apply_depth_colormap(
+                np.asarray(out["median_depth"]))).save(
+                os.path.join(depth_path, f"{idx:05d}.png"))
         print(f"\r{name} {idx + 1}/{len(views)}", end="", flush=True)
     print()
 
@@ -44,6 +55,11 @@ def main():
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--traj_frames", default=0, type=int,
+                        help="also render an N-frame ellipse flythrough "
+                             "(render_utils.py generate_path equivalent)")
+    parser.add_argument("--save_depth", action="store_true",
+                        help="write colormapped median-depth PNGs too")
     args = get_combined_args(parser)
 
     iteration = args.iteration
@@ -71,9 +87,25 @@ def main():
                       sg_color=params.sg_color, alive=aux.alive)
 
     if not args.skip_train:
-        render_set(args.model_path, "train", iteration, scene.train_views, render_fn)
+        render_set(args.model_path, "train", iteration, scene.train_views,
+                   render_fn, save_depth=args.save_depth)
     if not args.skip_test and scene.test_views:
-        render_set(args.model_path, "test", iteration, scene.test_views, render_fn)
+        render_set(args.model_path, "test", iteration, scene.test_views,
+                   render_fn, save_depth=args.save_depth)
+    if args.traj_frames > 0:
+        from gsjax.utils.trajectories import generate_path
+
+        class _TrajView:
+            def __init__(self, camera):
+                self.camera = camera
+                self.image = np.zeros((camera.height, camera.width, 3),
+                                      np.float32)
+
+        cams = generate_path([v.camera for v in scene.train_views],
+                             n_frames=args.traj_frames)
+        render_set(args.model_path, "traj", iteration,
+                   [_TrajView(c) for c in cams], render_fn,
+                   save_depth=args.save_depth)
 
 
 if __name__ == "__main__":

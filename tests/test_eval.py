@@ -74,3 +74,29 @@ def test_crop_volume(tmp_path):
     pts = np.array([[0, 0, 0], [2, 0, 0], [0, 0, 5], [0.5, -0.5, 0.5]])
     out = cv.crop(pts)
     assert len(out) == 2
+
+
+def test_ellipse_trajectory_cameras():
+    """generate_path produces look-at cameras circling the capture ring."""
+    import numpy as np
+
+    from gsjax.utils.trajectories import apply_depth_colormap, generate_path
+    from tests.scene_gen import arc_pose
+    from gsjax.ops.raster.camera import Camera
+
+    cams = []
+    for i in range(8):
+        R, T = arc_pose(i, 8)
+        cams.append(Camera.create(R, T, 0.9, 0.7, 64, 48))
+    traj = generate_path(cams, n_frames=12)
+    assert len(traj) == 12
+    for c in traj:
+        assert c.width == 64 and c.height == 48
+        assert np.isfinite(np.asarray(c.world_view)).all()
+    # positions should circle around: distinct camera centres
+    centres = np.stack([np.linalg.inv(np.asarray(c.world_view))[:3, 3]
+                        for c in traj])
+    assert np.ptp(centres, axis=0).max() > 0.5
+
+    cm = apply_depth_colormap(np.array([[0.0, 1.0], [2.0, 3.0]]))
+    assert cm.shape == (2, 2, 3) and cm.dtype == np.uint8
