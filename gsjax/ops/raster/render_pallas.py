@@ -104,6 +104,21 @@ def _prefix_excl(tri, x):
     return _mm(tri, x)
 
 
+def _prefix_prod_excl(x):
+    """Exclusive prefix PRODUCT along the gaussian axis of [G, P].
+
+    Lets the transmittance recurrence run multiplicatively like the CUDA
+    loop (render_forward.cu:498-516) instead of in log space — saving the
+    per-element log1p/exp pair that dominated the blend's VPU time."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    x = jnp.where(rows >= 1, pltpu.roll(x, 1, 0), 1.0)
+    s = 1
+    while s < G:
+        x = x * jnp.where(rows >= s, pltpu.roll(x, s, 0), 1.0)
+        s *= 2
+    return x
+
+
 def _eye16():
     return (jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 0) ==
             jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 1)).astype(_f32)
@@ -331,15 +346,20 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
     tri = _tri_strict()
     n_chunks = (count + G - 1) // G
 
+    tmin = _f32(cfg.transmittance_min)
+
     def body(carry):
-        c, log_t, acc, last_idx, md_init = carry
+        # multiplicative transmittance recurrence (render_forward.cu:498-516):
+        # `keep` is monotone along the chunk (T only shrinks), so the carry
+        # update is the min over kept inclusive transmittances.
+        c, t_row, acc, last_idx, md_init = carry
         ch = _Chunk(buf, c, px, py, eye)
         rel = _rel_ids(c)
         a, _, passes = ch.alpha(cfg, rel, count)
-        l1m = jnp.log1p(-a)
-        exc = _prefix_excl(tri, l1m)
-        keep = (log_t + exc + l1m) >= log_tmin
-        t_prev = jnp.exp(log_t + exc)
+        om = 1.0 - a
+        t_prev = t_row * _prefix_prod_excl(om)
+        t_incl = t_prev * om
+        keep = t_incl >= tmin
         w = a * t_prev * keep
         cn = jnp.concatenate(
             [ch.cols[:, 6:9], ch.cols[:, 13:16]], axis=1)   # [G, 6]
@@ -352,19 +372,18 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
         md_init = jnp.where(best >= 0, md_new, md_init)
         last_idx = jnp.maximum(
             last_idx, jnp.max(jnp.where(applied, rel, -1), axis=0, keepdims=True))
-        log_t = log_t + jnp.sum(l1m * keep, axis=0, keepdims=True)
-        return (c + 1, log_t, acc, last_idx, md_init)
+        t_row = jnp.minimum(
+            t_row, jnp.min(jnp.where(keep, t_incl, 2.0), axis=0, keepdims=True))
+        return (c + 1, t_row, acc, last_idx, md_init)
 
     def cond_fn(carry):
-        c, log_t = carry[0], carry[1]
-        return (c < n_chunks) & (jnp.max(log_t) >= log_tmin)
+        c, t_row = carry[0], carry[1]
+        return (c < n_chunks) & (jnp.max(t_row) >= tmin)
 
     row0 = jnp.zeros((1, p), _f32)
-    init = (jnp.int32(0), row0, jnp.zeros((6, p), _f32),
+    init = (jnp.int32(0), jnp.ones((1, p), _f32), jnp.zeros((6, p), _f32),
             jnp.full((1, p), -1, jnp.int32), row0)
-    _, log_t, acc, last_idx, md_init = jax.lax.while_loop(cond_fn, body, init)
-
-    t_final = jnp.exp(log_t)
+    _, t_final, acc, last_idx, md_init = jax.lax.while_loop(cond_fn, body, init)
     inv_om = 1.0 / jnp.maximum(1.0 - t_final, 1e-12)
     has = last_idx >= 0
     n_contrib = last_idx + 1
@@ -523,15 +542,17 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
         nc_chunks = 0
 
     # --- main gradient traversal ---------------------------------------------
+    tmin = _f32(cfg.transmittance_min)
+
     def body(carry):
-        c, log_t, pq_carry = carry
+        c, t_row, pq_carry = carry
         ch = _Chunk(buf, c, px, py, eye)
         rel = _rel_ids(c)
         a, a_raw, passes = ch.alpha(cfg, rel, count)
-        l1m = jnp.log1p(-a)
-        exc = _prefix_excl(tri, l1m)
-        keep = (log_t + exc + l1m) >= log_tmin
-        t_prev = jnp.exp(log_t + exc)
+        one_m = 1.0 - a
+        t_prev = t_row * _prefix_prod_excl(one_m)
+        t_incl = t_prev * one_m
+        keep = t_incl >= tmin
         w = a * t_prev * keep
         applied = passes & keep
         inv_1ma = 1.0 / (1.0 - a)                    # a <= 0.99
@@ -598,18 +619,20 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
         dbuf[slot] = _dot(eye, d_all, ((1,), (1,)))              # [16, G]
         d_copy(c, slot).start()
 
-        log_t = log_t + jnp.sum(l1m * keep, axis=0, keepdims=True)
+        t_row = jnp.minimum(
+            t_row, jnp.min(jnp.where(keep, t_incl, 2.0), axis=0, keepdims=True))
         pq_carry = pq_carry + jnp.sum(w * q, axis=0, keepdims=True)
-        return (c + 1, log_t, pq_carry)
+        return (c + 1, t_row, pq_carry)
 
     def cond_fn(carry):
-        c, log_t = carry[0], carry[1]
+        c, t_row = carry[0], carry[1]
         # same early exit as the forward: past full saturation every gradient
         # is zero (keep=False and rel >= n_contrib)
-        return (c < n_chunks) & (jnp.max(log_t) >= log_tmin)
+        return (c < n_chunks) & (jnp.max(t_row) >= tmin)
 
     row0 = jnp.zeros((1, p), _f32)
-    c_end, _, _ = jax.lax.while_loop(cond_fn, body, (jnp.int32(0), row0, row0))
+    c_end, _, _ = jax.lax.while_loop(
+        cond_fn, body, (jnp.int32(0), jnp.ones((1, p), _f32), row0))
 
     # drain in-flight stores, then zero-fill early-exited chunks (their pairs
     # are real slots of this tile whose gradients are identically zero)

@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 from gsjax.ops.raster.config import RasterConfig
 from gsjax.ops.raster.render_pallas import (
     _F, G, _f32, _Chunk, _col_sum, _dot, _eye16, _median_model,
-    _median_search, _mm, _prefix_excl, _rel_ids, _start_copy, _tri_strict)
+    _median_search, _mm, _prefix_excl, _prefix_prod_excl, _rel_ids,
+    _start_copy, _tri_strict)
 
 P_ROWS = 4   # point payload rows: px, py, eval_t, pad
 O_ROWS = 8   # output rows: value, flag, n_contrib, md_init, t_final, 0, 0, 0
@@ -91,15 +92,18 @@ def _sfwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, out_ref,
     tri = _tri_strict()
     n_chunks = (count + G - 1) // G
 
+    tmin = _f32(cfg.transmittance_min)
+
     def body(carry):
-        c, log_t, last_idx, md_init, log_tp = carry
+        # multiplicative transmittance march (see render_pallas fwd kernel)
+        c, t_row, last_idx, md_init, log_tp = carry
         ch = _Chunk(buf, c, px, py, eye)
         rel = _rel_ids(c)
         a, _, passes = ch.alpha(cfg, rel, count)
-        l1m = jnp.log1p(-a)
-        exc = _prefix_excl(tri, l1m)
-        keep = (log_t + exc + l1m) >= log_tmin
-        t_prev = jnp.exp(log_t + exc)
+        one_m = 1.0 - a
+        t_prev = t_row * _prefix_prod_excl(one_m)
+        t_incl = t_prev * one_m
+        keep = t_incl >= tmin
         applied = passes & keep
         cond = applied & (t_prev > 0.5)
         best = jnp.max(jnp.where(cond, rel, -1), axis=0, keepdims=True)
@@ -115,20 +119,20 @@ def _sfwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, out_ref,
             lf, *_ = _median_model(ch, a, et)
             log_tp = log_tp + jnp.sum(jnp.where(applied, lf, 0.0), axis=0,
                                       keepdims=True)
-        log_t = log_t + jnp.sum(l1m * keep, axis=0, keepdims=True)
-        return (c + 1, log_t, last_idx, md_init, log_tp)
+        t_row = jnp.minimum(
+            t_row, jnp.min(jnp.where(keep, t_incl, 2.0), axis=0,
+                           keepdims=True))
+        return (c + 1, t_row, last_idx, md_init, log_tp)
 
     def cond_fn(carry):
-        c, log_t = carry[0], carry[1]
-        return (c < n_chunks) & (jnp.max(log_t) >= log_tmin)
+        c, t_row = carry[0], carry[1]
+        return (c < n_chunks) & (jnp.max(t_row) >= tmin)
 
     row0 = jnp.zeros((1, p_round), _f32)
-    init = (jnp.int32(0), row0, jnp.full((1, p_round), -1, jnp.int32),
-            row0, row0)
-    _, log_t, last_idx, md_init, log_tp = jax.lax.while_loop(
+    init = (jnp.int32(0), jnp.ones((1, p_round), _f32),
+            jnp.full((1, p_round), -1, jnp.int32), row0, row0)
+    _, t_final, last_idx, md_init, log_tp = jax.lax.while_loop(
         cond_fn, body, init)
-
-    t_final = jnp.exp(log_t)
     n_contrib = last_idx + 1
     out_ref[0, 2:3, :] = n_contrib.astype(_f32)
     out_ref[0, 3:4, :] = md_init

@@ -189,6 +189,24 @@ class Trainer:
             gray_r=jnp.asarray(view.gray) if near is not None else None,
             gray_n=jnp.asarray(near.gray) if near is not None else None)
 
+        # debug snapshot on blow-up (equivalent of the reference's
+        # snapshot_fw.dump on CUDA exception,
+        # diff_gaussian_rasterization/__init__.py:101-107): dump the exact
+        # state + view so the step is replayable offline
+        if not np.isfinite(float(metrics["loss"])):
+            path = os.path.join(self.model_path, f"snapshot_it{it}.npz")
+            flat = {}
+            for name, tree in (("params", self.params), ("aux", self.aux)):
+                for i, leaf in enumerate(jax.tree_util.tree_leaves(tree)):
+                    flat[f"{name}_{i}"] = np.asarray(leaf)
+            flat["view_uid"] = np.asarray(view.uid)
+            flat["near_uid"] = np.asarray(-1 if near is None else near.uid)
+            flat["iteration"] = np.asarray(it)
+            np.savez_compressed(path, **flat)
+            raise FloatingPointError(
+                f"non-finite loss at iteration {it} "
+                f"(view {view.image_name}); state dumped to {path}")
+
         # appearance optimiser
         if self.app.kind != "no":
             if self.app.kind == "gs":
