@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -67,15 +68,19 @@ def main():
 
     args = args + (gt, bg)
     # warmup / compile
+    t0 = time.perf_counter()
     loss, grads = fwd_bwd(*args)
-    jax.block_until_ready(loss)
+    jax.block_until_ready((loss, grads))
+    print(f"warmup {time.perf_counter() - t0:.1f}s loss={float(loss):.4f}",
+          file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         loss, grads = fwd_bwd(*args)
-    jax.block_until_ready(loss)
-    jax.block_until_ready(grads)
+    jax.block_until_ready((loss, grads))
     dt = time.perf_counter() - t0
+    print(f"timed {iters} iters in {dt:.3f}s loss={float(loss):.4f}",
+          file=sys.stderr)
 
     rays_per_s = width * height * iters / dt
     print(json.dumps({
