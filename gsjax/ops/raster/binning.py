@@ -37,10 +37,21 @@ class Binning:
     max_tile_count: jax.Array  # [] int32 (for max_per_tile monitoring)
 
 
-def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int) -> Binning:
+def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int,
+                  row_lo=None, row_hi=None,
+                  pair_capacity: int | None = None) -> Binning:
+    """Bin gaussians into depth-sorted per-tile pair lists.
+
+    row_lo/row_hi (+ a smaller pair_capacity) restrict binning to the
+    tile-ROW band [row_lo, row_hi): each gaussian's tile rect is clipped
+    vertically before expansion, so only the band's pairs are enumerated,
+    sorted and re-laid. This is the per-device path under shard_map — each
+    chip bins only its own band, making the binning cost scale down with the
+    mesh instead of being replicated (SURVEY section 2.3). Tiles outside the
+    band report count=0."""
     tiles_x, tiles_y = cfg.grid(width, height)
     num_tiles = tiles_x * tiles_y
-    k = cfg.pair_capacity
+    k = pair_capacity if pair_capacity is not None else cfg.pair_capacity
     n = prep.tiles_touched.shape[0]
 
     # XLA on TPU fuses chains of gather/scatter/arithmetic into serial loop
@@ -49,6 +60,15 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
     barrier = jax.lax.optimization_barrier
 
     touched = jax.lax.stop_gradient(prep.tiles_touched)
+    rect_y0 = prep.rect_min[:, 1]
+    if row_lo is not None:
+        # clip each rect to the band; culled gaussians keep touched == 0
+        rect_w = jnp.maximum(prep.rect_wh[:, 0], 1)
+        y0c = jnp.clip(rect_y0, row_lo, row_hi)
+        y1c = jnp.clip(rect_y0 + prep.rect_wh[:, 1], row_lo, row_hi)
+        touched = jnp.where(touched > 0,
+                            rect_w * jnp.maximum(y1c - y0c, 0), 0)
+        rect_y0 = y0c
     cum = jnp.cumsum(touched)                      # inclusive
     total = cum[-1]
 
@@ -69,7 +89,7 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
     packed = barrier(jnp.stack([
         starts_exc.astype(jnp.float32),
         prep.rect_min[:, 0].astype(jnp.float32),
-        prep.rect_min[:, 1].astype(jnp.float32),
+        rect_y0.astype(jnp.float32),
         jnp.maximum(prep.rect_wh[:, 0], 1).astype(jnp.float32),
         jax.lax.stop_gradient(prep.depth),
     ], axis=1)[g])                                 # [K,5]

@@ -8,8 +8,11 @@ the same PRNG), so no cross-host reshuffling is required — each device holds
 the full (small) parameter set while the pixel work scales linearly.
 
 Layout per device under `shard_map`:
-  - preprocess + binning: computed replicated (cheap vs the blend).
-  - tile blend: each device renders its contiguous slice of tiles.
+  - preprocess: computed replicated (single cheap per-gaussian pass).
+  - binning: per-device — each chip expands/sorts only its own row band's
+    (gaussian, tile) pairs (bin_gaussians row_lo/row_hi), so the sort +
+    re-layout cost scales down with the mesh.
+  - tile blend: each device renders its row band of tiles.
   - images: all_gathered so non-local losses (SSIM windows crossing tile
     boundaries) see the full frame; autodiff turns the gather into a scatter
     of image grads back to the owning device.
@@ -124,10 +127,24 @@ def _tiles_to_image(tiles, tiles_x, tiles_y, width, height, cfg: RasterConfig):
     return v[:height, :width]
 
 
+def _band_tiles(camera: Camera, cfg: RasterConfig, n_dev: int):
+    """Row-aligned tile bands: device d owns tile rows [d*rp, (d+1)*rp).
+
+    Row alignment lets each device bin ONLY its band's pairs
+    (bin_gaussians row_lo/row_hi) instead of replicating the global sort."""
+    tiles_x, tiles_y = cfg.grid(camera.width, camera.height)
+    rows_per = -(-tiles_y // n_dev)
+    t_pad = n_dev * rows_per * tiles_x
+    tile_ids = jnp.arange(t_pad, dtype=jnp.int32).reshape(n_dev, -1)
+    return tiles_x, tiles_y, rows_per, tile_ids
+
+
 def render_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
-                   camera: Camera, cfg: RasterConfig, bg, mesh: Mesh):
+                   camera: Camera, cfg: RasterConfig, bg, mesh: Mesh,
+                   dev_pair_capacity: int | None = None):
     """Full-frame render with tiles sharded over the mesh."""
     n_dev = mesh.devices.size
+    tiles_x, tiles_y, rows_per, tile_ids = _band_tiles(camera, cfg, n_dev)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(), P(), P(AXIS)),
              out_specs=P(), check_vma=False)
@@ -136,15 +153,15 @@ def render_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
         prep = preprocess(p.xyz, scales, p.rotation, opac, gm.get_features(p),
                           gm.get_sg_axis(p), gm.get_sg_sharpness(p), p.sg_color,
                           camera, cfg, aux_.alive)
-        binning = bin_gaussians(prep, cfg, camera.width, camera.height)
+        row_lo = jax.lax.axis_index(AXIS) * rows_per
+        binning = bin_gaussians(prep, cfg, camera.width, camera.height,
+                                row_lo=row_lo,
+                                row_hi=jnp.minimum(row_lo + rows_per, tiles_y),
+                                pair_capacity=dev_pair_capacity)
         local = _render_local_tiles(prep, binning, camera, cfg, bg_, my_tiles[0])
         gathered = {k: jax.lax.all_gather(v, AXIS, tiled=True) for k, v in local.items()}
         return gathered
 
-    tiles_x, tiles_y = cfg.grid(camera.width, camera.height)
-    num_tiles = tiles_x * tiles_y
-    t_pad = -(-num_tiles // n_dev) * n_dev
-    tile_ids = jnp.arange(t_pad, dtype=jnp.int32).reshape(n_dev, -1)
     tiles = run(params, aux, bg, tile_ids)
     return {k: _tiles_to_image(v, tiles_x, tiles_y, camera.width, camera.height, cfg)
             for k, v in tiles.items()}
@@ -154,17 +171,15 @@ def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                        adam: gm.AdamState, camera: Camera, gt_image, bg,
                        lrs, cfg: RasterConfig, loss_cfg: LossConfig, mesh: Mesh,
                        near_cam: Camera | None = None,
-                       gray_r=None, gray_n=None):
+                       gray_r=None, gray_n=None,
+                       dev_pair_capacity: int | None = None):
     """Sharded train step: per-device tile blend, psum'd parameter grads,
     replicated Adam update. When a neighbour view is given and
     loss_cfg.mv_on, the PGSR multi-view terms run band-sharded: each device
     samples the neighbour depth for its own horizontal band of the frame and
     the masked sums are psum'd (SURVEY section 2.3)."""
     n_dev = mesh.devices.size
-    tiles_x, tiles_y = cfg.grid(camera.width, camera.height)
-    num_tiles = tiles_x * tiles_y
-    t_pad = -(-num_tiles // n_dev) * n_dev
-    tile_ids = jnp.arange(t_pad, dtype=jnp.int32).reshape(n_dev, -1)
+    tiles_x, tiles_y, rows_per, tile_ids = _band_tiles(camera, cfg, n_dev)
     mv_on = (loss_cfg.reg_on and loss_cfg.mv_on and cfg.require_depth
              and near_cam is not None
              and (loss_cfg.lambda_mv_ncc > 0 or loss_cfg.lambda_mv_geo > 0))
@@ -184,7 +199,11 @@ def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                               gm.get_features(p_), gm.get_sg_axis(p_),
                               gm.get_sg_sharpness(p_), p_.sg_color,
                               camera, cfg, aux_.alive)
-            binning = bin_gaussians(prep, cfg, camera.width, camera.height)
+            row_lo = jax.lax.axis_index(AXIS) * rows_per
+            binning = bin_gaussians(
+                prep, cfg, camera.width, camera.height, row_lo=row_lo,
+                row_hi=jnp.minimum(row_lo + rows_per, tiles_y),
+                pair_capacity=dev_pair_capacity)
             local = _render_local_tiles(prep, binning, camera, cfg, bg_, my_tiles[0])
             full = {k: jax.lax.all_gather(v, AXIS, tiled=True)
                     for k, v in local.items()}
