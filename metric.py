@@ -21,6 +21,11 @@ def read_dir(path):
 
 
 def main():
+    # metrics are tiny per-image reductions: run on CPU so the CLI never
+    # contends for the TPU claim (override with GSJAX_METRIC_PLATFORM)
+    import jax
+    jax.config.update("jax_platforms",
+                      os.environ.get("GSJAX_METRIC_PLATFORM", "cpu"))
     import jax.numpy as jnp
 
     from gsjax.eval import lpips as lpips_mod
