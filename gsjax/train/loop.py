@@ -134,21 +134,26 @@ class Trainer:
         return gt
 
     def monitor_capacity(self, metrics):
-        """Bump static buckets when high-water marks approach them."""
+        """Bump static buckets when high-water marks approach them.
+
+        Growth factors are coarse (x2.5-3 before pow2 rounding) on purpose:
+        every bump recompiles the train step (the reg-phase program costs
+        minutes on TPU), so fewer, bigger jumps beat tight sizing. Memory is
+        cheap relative — a pair slot is 16 floats."""
         recompiled = False
         npairs = int(metrics["num_pairs"])
         if npairs > 0.85 * self.pair_capacity:
-            self.pair_capacity = next_pow2(int(npairs * 1.6))
+            self.pair_capacity = next_pow2(int(npairs * 3.0))
             recompiled = True
         mtc = int(metrics["max_tile_count"])
         if mtc > 0.9 * self.max_per_tile:
-            self.max_per_tile = next_pow2(int(mtc * 1.5))
+            self.max_per_tile = next_pow2(int(mtc * 2.5))
             recompiled = True
         n_alive = int(jnp.sum(self.aux.alive))
         if n_alive > 0.9 * self.params.capacity:
             self.params, self.aux, self.adam = gm.grow_capacity(
                 self.params, self.aux, self.adam,
-                next_pow2(int(self.params.capacity * 1.8)))
+                next_pow2(int(self.params.capacity * 2.5)))
             recompiled = True
         return recompiled
 
