@@ -9,10 +9,10 @@ same math is re-laid as [G=128 gaussian sublanes, P=1024 pixel lanes] chunks:
     feature rows into per-gaussian columns; `power`, `t_val` and alpha are
     then direct VPU math in exact f32 (no quadratic expansion).
   - The sequential transmittance recurrence (render_forward.cu:455-533)
-    becomes a strict-lower-triangular [G,G] matmul prefix-sum of log(1-a)
-    plus a per-pixel carry across chunks; a tile-level early exit stops the
-    chunk loop once every pixel saturates (T < 1e-4), matching the CUDA
-    per-pixel break at tile granularity.
+    becomes a multiplicative shift-prefix of (1-alpha) over gaussian
+    sublanes with a masked-min per-pixel carry across chunks; a tile-level
+    early exit stops the chunk loop once every pixel saturates (T < 1e-4),
+    matching the CUDA per-pixel break at tile granularity.
   - Color/normal accumulation and all per-gaussian gradient reductions are
     lane contractions on the MXU (replacing warp reductions + atomicAdd,
     render_backward.cu:21-53, 1035-1065).
@@ -322,7 +322,6 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
     mpt = cfg.max_per_tile
     fx, fy = cam_ref[0], cam_ref[1]
     width, height = cam_ref[5], cam_ref[6]
-    log_tmin = _f32(np.log(cfg.transmittance_min))
 
     @pl.when(t == 0)
     def _():
@@ -343,9 +342,7 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
 
     px, py = _pixel_rows(tileids_ref[t], tiles_x, cfg)
     eye = _eye16()
-    tri = _tri_strict()
     n_chunks = (count + G - 1) // G
-
     tmin = _f32(cfg.transmittance_min)
 
     def body(carry):
@@ -457,7 +454,6 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
     fx, fy = cam_ref[0], cam_ref[1]
     width, height = cam_ref[5], cam_ref[6]
     bg0, bg1, bg2 = cam_ref[2], cam_ref[3], cam_ref[4]
-    log_tmin = _f32(np.log(cfg.transmittance_min))
 
     @pl.when(t == 0)
     def _():

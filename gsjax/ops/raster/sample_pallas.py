@@ -42,8 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gsjax.ops.raster.config import RasterConfig
 from gsjax.ops.raster.render_pallas import (
     _F, G, _f32, _Chunk, _col_sum, _dot, _eye16, _median_model,
-    _median_search, _mm, _prefix_excl, _prefix_prod_excl, _rel_ids,
-    _start_copy, _tri_strict)
+    _median_search, _prefix_prod_excl, _rel_ids, _start_copy)
 
 P_ROWS = 4   # point payload rows: px, py, eval_t, pad
 O_ROWS = 8   # output rows: value, flag, n_contrib, md_init, t_final, 0, 0, 0
@@ -65,7 +64,6 @@ def _sfwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, out_ref,
                  integrate: bool):
     r = pl.program_id(0)
     mpt = cfg.max_per_tile
-    log_tmin = _f32(np.log(cfg.transmittance_min))
 
     @pl.when(r == 0)
     def _():
@@ -89,7 +87,6 @@ def _sfwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, out_ref,
     count = jnp.minimum(gc_ref[r], mpt)  # see render_pallas count clamp
 
     eye = _eye16()
-    tri = _tri_strict()
     n_chunks = (count + G - 1) // G
 
     tmin = _f32(cfg.transmittance_min)
