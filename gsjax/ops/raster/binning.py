@@ -130,7 +130,12 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
 
     sa = spread(start_al)
     ts = spread(tile_start)
-    be = spread(tile_start + tile_count)
+    # clamp each tile's valid span at max_per_tile: the blend kernels march at
+    # most max_per_tile pairs per tile (render_pallas.py clamps `count`), so
+    # overflow slots are never rendered NOR gradient-written — leaving them
+    # pair_valid would scatter uninitialized backward-buffer HBM into real
+    # gaussian gradients in the step(s) before monitor_capacity bumps the cap.
+    be = spread(tile_start + jnp.minimum(tile_count, cfg.max_per_tile))
     q_ids = jnp.arange(k_al, dtype=jnp.int32)
     src = ts + (q_ids - sa)
     valid_al = src < be

@@ -145,13 +145,20 @@ def _march_rounds(feats_pairs, gs, gc, pxr, pyr, cfg: RasterConfig, etr=None):
     return out
 
 
+# Read once at import: the choice is baked into the jit cache (keyed only on
+# cfg/shapes), so a process-level constant is the honest semantics — changing
+# the env var mid-process could never take effect anyway.
+import os as _os
+
+_SAMPLE_BACKEND_ENV = _os.environ.get("GSJAX_SAMPLE_BACKEND", "")
+
+
 def _use_pallas(cfg: RasterConfig) -> bool:
     """Point-query backend choice (same convention as api._use_pallas);
-    GSJAX_SAMPLE_BACKEND=ref|pallas overrides for A/B runs."""
-    import os
-    env = os.environ.get("GSJAX_SAMPLE_BACKEND", "")
-    if env in ("ref", "pallas"):
-        return env == "pallas"
+    GSJAX_SAMPLE_BACKEND=ref|pallas overrides for A/B runs (process-level,
+    read at import)."""
+    if _SAMPLE_BACKEND_ENV in ("ref", "pallas"):
+        return _SAMPLE_BACKEND_ENV == "pallas"
     if cfg.backend == "ref":
         return False
     if cfg.backend == "pallas":

@@ -330,14 +330,19 @@ def run_training(lp, op, pp, args):
 
     ema = 0.0
     t0 = time.time()
+    profiling = False
     while trainer.iteration < op.iterations:
+        # jax.profiler trace of 5 regular loop iterations (SURVEY section 5:
+        # tracing — replaces the reference's cuda-event iter timing). The
+        # profiled steps ARE the loop's steps, so test/save/ckpt bookkeeping
+        # below still sees every iteration.
         if profile_iter and trainer.iteration + 1 == profile_iter:
-            # jax.profiler trace of 5 steps (SURVEY section 5: tracing —
-            # replaces the reference's cuda-event iter timing)
-            with jax.profiler.trace(os.path.join(lp.model_path, "profile")):
-                for _ in range(5):
-                    metrics = trainer.step()
+            jax.profiler.start_trace(os.path.join(lp.model_path, "profile"))
+            profiling = True
         metrics = trainer.step()
+        if profiling and trainer.iteration >= profile_iter + 4:
+            jax.profiler.stop_trace()
+            profiling = False
         it = trainer.iteration
         ema = 0.4 * float(metrics["loss"]) + 0.6 * ema
         if it % 100 == 0:
@@ -372,6 +377,8 @@ def run_training(lp, op, pp, args):
             trainer.save_model()
         if it in ckpt_iters:
             trainer.save_ckpt()
+    if profiling:
+        jax.profiler.stop_trace()
     if tb is not None:
         tb.close()
     return trainer
