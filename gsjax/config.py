@@ -122,7 +122,10 @@ class OptimizationParams(ParamGroup):
     lambda_multi_view_ncc = 0.6
     multi_view_patch_size = 3
     multi_view_pixel_noise_th = 1.0
+    # parsed-but-unused in the reference too (arguments/__init__.py:119 is
+    # its only appearance); kept for CLI/cfg_args compatibility
     use_geo_occ_aware = True
+    # random per-step background colour (train.py:91)
     random_background = False
 
     def __init__(self, parser):

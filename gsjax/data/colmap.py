@@ -114,15 +114,18 @@ def read_images_text(path) -> dict[int, ColmapImage]:
     return imgs
 
 
-def read_points3d_binary(path):
+def read_points3d_binary(path, with_tracks=False):
     """Returns (xyz [N,3], rgb [N,3] uint8, error [N]). Vectorised two-pass
-    parse of the variable-record binary format."""
+    parse of the variable-record binary format. With `with_tracks`, also
+    returns a list of per-point image-id arrays (the LLFF pose exporter
+    needs per-image point visibility for its depth bounds)."""
     with open(path, "rb") as f:
         raw = f.read()
     (n,) = struct.unpack_from("<Q", raw, 0)
     xyz = np.empty((n, 3), np.float64)
     rgb = np.empty((n, 3), np.uint8)
     err = np.empty((n,), np.float64)
+    tracks = [] if with_tracks else None
     off = 8
     # record: id(Q) xyz(3d) rgb(3B) error(d) track_len(Q) track(2i * len)
     for i in range(n):
@@ -130,7 +133,11 @@ def read_points3d_binary(path):
         rgb[i] = np.frombuffer(raw, "u1", 3, off + 32)
         err[i] = np.frombuffer(raw, "<f8", 1, off + 35)[0]
         (tl,) = struct.unpack_from("<Q", raw, off + 43)
+        if with_tracks:
+            tracks.append(np.frombuffer(raw, "<i4", 2 * tl, off + 51)[::2])
         off += 51 + 8 * tl
+    if with_tracks:
+        return xyz, rgb, err, tracks
     return xyz, rgb, err
 
 

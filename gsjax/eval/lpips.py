@@ -80,21 +80,46 @@ def lpips(img1, img2, weights=None):
     return float(total)
 
 
+# torchvision VGG16 `features` module indices of the 13 convs (convs at
+# 0,2 | 5,7 | 10,12,14 | 17,19,21 | 24,26,28 with ReLU/MaxPool between)
+_TV_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+
+def convert_state_dicts(vgg_features_sd, lin_weights, out_path=None):
+    """Convert raw state dicts to the npz key layout `lpips()` expects.
+
+    vgg_features_sd: torchvision-layout dict with `features.N.weight/bias`
+    for the VGG16 convs; lin_weights: the 5 LPIPS linear-head weights, each
+    [1, C, 1, 1] (lpips pkg `lins[k].model[-1].weight`). Offline-testable —
+    no torchvision/lpips import needed (tests/test_lpips.py locks the
+    mapping against a torch re-implementation with random weights)."""
+    arrs = {}
+    for i, n in enumerate(_TV_CONV_IDX):
+        arrs[f"conv{i}_w"] = np.asarray(vgg_features_sd[f"features.{n}.weight"])
+        arrs[f"conv{i}_b"] = np.asarray(vgg_features_sd[f"features.{n}.bias"])
+    for k, w in enumerate(lin_weights):
+        w = np.asarray(w)
+        assert w.ndim == 4 and w.shape[0] == 1 and w.shape[2:] == (1, 1), w.shape
+        arrs[f"lin{k}_w"] = w
+    if out_path:
+        np.savez(out_path, **arrs)
+    return arrs
+
+
 def convert_torch_weights(out_path):
-    """One-time converter: torchvision VGG16 + lpips package -> npz."""
+    """One-time converter on a machine with the lpips package installed:
+    lpips.LPIPS(net='vgg') (pretrained VGG16 + heads) -> npz."""
     import torch
 
-    import lpips as lpips_pkg  # noqa: F401  (requires network once, offline cache ok)
+    import lpips as lpips_pkg  # requires network once; offline cache ok
 
     net = lpips_pkg.LPIPS(net="vgg")
-    arrs = {}
-    conv_i = 0
-    for layer in net.net.slice1 + net.net.slice2 + net.net.slice3 + \
-            net.net.slice4 + net.net.slice5:
-        if isinstance(layer, torch.nn.Conv2d):
-            arrs[f"conv{conv_i}_w"] = layer.weight.detach().numpy()
-            arrs[f"conv{conv_i}_b"] = layer.bias.detach().numpy()
-            conv_i += 1
-    for k, lin in enumerate(net.lins):
-        arrs[f"lin{k}_w"] = lin.model[-1].weight.detach().numpy()
-    np.savez(out_path, **arrs)
+    convs = [layer for slc in (net.net.slice1, net.net.slice2, net.net.slice3,
+                               net.net.slice4, net.net.slice5)
+             for layer in slc if isinstance(layer, torch.nn.Conv2d)]
+    sd = {}
+    for i, layer in enumerate(convs):
+        sd[f"features.{_TV_CONV_IDX[i]}.weight"] = layer.weight.detach().numpy()
+        sd[f"features.{_TV_CONV_IDX[i]}.bias"] = layer.bias.detach().numpy()
+    lins = [lin.model[-1].weight.detach().numpy() for lin in net.lins]
+    convert_state_dicts(sd, lins, out_path)

@@ -86,6 +86,58 @@ def update_table(state: AppearanceState, uid: int, grad_row: jax.Array,
     return dataclasses.replace(state, table=table, opt=opt)
 
 
+# --- checkpoint (de)serialisation --------------------------------------------
+#
+# The reference's capture()/restore() includes the appearance nets and their
+# optimizer state (scene/gaussian_model.py:88-144); these helpers flatten the
+# whole AppearanceState into flat path-keyed arrays for the npz checkpoint.
+
+def state_to_arrays(app: AppearanceState) -> dict:
+    """Flatten table + net + both Adam states into {path: ndarray}."""
+    out = {}
+    if app.table is not None:
+        out["app/table"] = np.asarray(app.table)
+        out["app/opt/mu"] = np.asarray(app.opt.mu)
+        out["app/opt/nu"] = np.asarray(app.opt.nu)
+        out["app/opt/count"] = np.asarray(app.opt.count)
+    if app.net is not None:
+        for layer, p in app.net.items():
+            for k, v in p.items():
+                out[f"app/net/{layer}/{k}"] = np.asarray(v)
+                out[f"app/net_opt/mu/{layer}/{k}"] = np.asarray(
+                    app.net_opt.mu[layer][k])
+                out[f"app/net_opt/nu/{layer}/{k}"] = np.asarray(
+                    app.net_opt.nu[layer][k])
+        out["app/net_opt/count"] = np.asarray(app.net_opt.count)
+    return out
+
+
+def state_from_arrays(app: AppearanceState, arrs: dict) -> AppearanceState:
+    """Rebuild an AppearanceState of `app.kind` from flattened arrays
+    (inverse of state_to_arrays). Unknown/absent keys leave `app` parts
+    untouched; the legacy 'app_table' key restores the table only."""
+    if app.kind == "no":
+        return app
+    if "app_table" in arrs and "app/table" not in arrs:   # legacy checkpoints
+        return dataclasses.replace(app, table=jnp.asarray(arrs["app_table"]))
+    if "app/table" not in arrs:
+        return app
+    opt = TableAdam(jnp.asarray(arrs["app/opt/mu"]),
+                    jnp.asarray(arrs["app/opt/nu"]),
+                    jnp.asarray(arrs["app/opt/count"]))
+    net, net_opt = app.net, app.net_opt
+    if app.net is not None and "app/net_opt/count" in arrs:
+        net = {layer: {k: jnp.asarray(arrs[f"app/net/{layer}/{k}"])
+                       for k in p} for layer, p in app.net.items()}
+        mu = {layer: {k: jnp.asarray(arrs[f"app/net_opt/mu/{layer}/{k}"])
+                      for k in p} for layer, p in app.net.items()}
+        nu = {layer: {k: jnp.asarray(arrs[f"app/net_opt/nu/{layer}/{k}"])
+                      for k in p} for layer, p in app.net.items()}
+        net_opt = TableAdam(mu, nu, jnp.asarray(arrs["app/net_opt/count"]))
+    return dataclasses.replace(app, table=jnp.asarray(arrs["app/table"]),
+                               opt=opt, net=net, net_opt=net_opt)
+
+
 # --- GOF appearance CNN (scene/appearance_network.py) ------------------------
 
 def _conv_init(key, cin, cout, k=3):
@@ -169,8 +221,11 @@ def downsample_align(img, h_out, w_out):
             + g(y0, x1) * (1 - wy) * wx + g(y1, x1) * wy * wx)
 
 
-def l1_appearance_gof(image, gt, net, embedding):
-    """GOF appearance L1 (loss_utils.py:105-119). image/gt: [H,W,3]."""
+def gof_mapped(image, gt, net, embedding):
+    """GOF appearance mapping (loss_utils.py:105-119). image/gt: [H,W,3].
+    Returns (mapped, crop_gt), both [h,w,3] centre crops to the /32 grid —
+    split out so the sharded step can band-sum the final L1 while the (cheap,
+    1/32-res input) CNN runs replicated."""
     h0, w0 = image.shape[:2]
     h, w = h0 // 32 * 32, w0 // 32 * 32
     top, left = (h0 - h) // 2, (w0 - w) // 2
@@ -182,4 +237,10 @@ def l1_appearance_gof(image, gt, net, embedding):
     net_in = jnp.transpose(net_in, (2, 0, 1))[None]        # [1,67,h/32,w/32]
     mapping = gof_forward(net, net_in)[0]                  # [3,h,w]
     mapped = jnp.transpose(mapping, (1, 2, 0)) * crop
+    return mapped, crop_gt
+
+
+def l1_appearance_gof(image, gt, net, embedding):
+    """GOF appearance L1 (loss_utils.py:105-119). image/gt: [H,W,3]."""
+    mapped, crop_gt = gof_mapped(image, gt, net, embedding)
     return jnp.mean(jnp.abs(mapped - crop_gt))

@@ -63,6 +63,29 @@ class Camera:
             height=int(height),
         )
 
+    @staticmethod
+    def from_matrices(width: int, height: int, fovx: float, fovy: float,
+                      world_view: np.ndarray,
+                      full_proj: np.ndarray) -> "Camera":
+        """MiniCam equivalent (scene/cameras.py:77-89): build from explicit
+        world->view and world->clip matrices in gsjax math convention
+        (column vectors) — the live-viewer protocol path."""
+        wv = np.asarray(world_view, np.float32)
+        c2w = np.linalg.inv(wv)
+        return Camera(
+            world_view=wv,
+            full_proj=np.asarray(full_proj, np.float32),
+            campos=np.asarray(c2w[:3, 3], np.float32),
+            fx=np.float32(transforms.fov2focal(fovx, width)),
+            fy=np.float32(transforms.fov2focal(fovy, height)),
+            cx=np.float32((width - 1) / 2),
+            cy=np.float32((height - 1) / 2),
+            tan_fovx=np.float32(math.tan(fovx * 0.5)),
+            tan_fovy=np.float32(math.tan(fovy * 0.5)),
+            width=int(width),
+            height=int(height),
+        )
+
     @property
     def view_rotation(self) -> jax.Array:
         """[3,3] world->camera rotation."""

@@ -167,98 +167,228 @@ def render_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
             for k, v in tiles.items()}
 
 
+def _row_slice(x, r0, nrows, total_rows):
+    """Slice `nrows` rows starting at traced offset r0, zero-padding the row
+    axis to `total_rows` first so the slice never clamps."""
+    pad = total_rows - x.shape[0]
+    xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return jax.lax.dynamic_slice_in_dim(xp, r0, nrows, 0)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "loss_cfg", "mesh", "dev_pair_capacity"))
 def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                        adam: gm.AdamState, camera: Camera, gt_image, bg,
                        lrs, cfg: RasterConfig, loss_cfg: LossConfig, mesh: Mesh,
+                       app_embedding: jax.Array | None = None,
+                       app_net: dict | None = None,
                        near_cam: Camera | None = None,
                        gray_r=None, gray_n=None,
                        dev_pair_capacity: int | None = None):
-    """Sharded train step: per-device tile blend, psum'd parameter grads,
-    replicated Adam update. When a neighbour view is given and
-    loss_cfg.mv_on, the PGSR multi-view terms run band-sharded: each device
-    samples the neighbour depth for its own horizontal band of the frame and
-    the masked sums are psum'd (SURVEY section 2.3)."""
+    """Sharded train step, full parity with `train.step.train_step`:
+    per-device binning + tile blend, psum'd parameter / mean2d-tap /
+    appearance gradients, replicated Adam update, densification stats.
+
+    Every loss term is computed as a psum of per-device *band* partial sums
+    (not full-frame replicated), so per-chip loss FLOPs scale ~1/N:
+      - L1 (all appearance kinds) over row bands of the frame,
+      - SSIM over bands of valid 11x11 windows (each device's input slice
+        carries the 10 halo rows below its band),
+      - depth->normal consistency over bands with a 1-row halo,
+      - PGSR multi-view terms band-sharded (each device samples the
+        neighbour's depth for its own band; masked sums psum'd).
+    Only the GOF appearance CNN (1/32-res input) runs replicated; its loss
+    cotangents still arrive band-partitioned so psum'd grads stay correct.
+
+    Returns (params, aux, adam, metrics) exactly like train_step."""
     n_dev = mesh.devices.size
     tiles_x, tiles_y, rows_per, tile_ids = _band_tiles(camera, cfg, n_dev)
+    height, width = int(camera.height), int(camera.width)
     mv_on = (loss_cfg.reg_on and loss_cfg.mv_on and cfg.require_depth
              and near_cam is not None
              and (loss_cfg.lambda_mv_ncc > 0 or loss_cfg.lambda_mv_geo > 0))
+    if app_embedding is None:
+        app_embedding = jnp.zeros((2,))
+    if app_net is None:
+        app_net = {}
     if gray_r is None:
-        gray_r = jnp.zeros((camera.height, camera.width))
+        gray_r = jnp.zeros((height, width))
     if gray_n is None:
-        gray_n = jnp.zeros((camera.height, camera.width))
-    band = -(-camera.height // n_dev)          # rows per device
+        gray_n = jnp.zeros((height, width))
+    bh = -(-height // n_dev)                   # L1 / depth-normal band rows
+    hv, wv = height - 10, width - 10           # SSIM valid-window grid
+    bv = -(-hv // n_dev)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), P(), P(AXIS), P(), P()),
-             out_specs=(P(), P()), check_vma=False)
-    def run(p, aux_, gt, bg_, my_tiles, gr, gn):
-        def loss_fn(p_):
+             in_specs=(P(), P(), P(), P(), P(AXIS), P(), P(), P(), P()),
+             out_specs=P(), check_vma=False)
+    def run(p, aux_, gt, bg_, my_tiles, gr, gn, emb, net):
+        i_dev = jax.lax.axis_index(AXIS)
+
+        def loss_fn(p_, mean2d_offset, emb_, net_):
             scales, opac = gm.scaling_n_opacity_with_3d_filter(p_, aux_.filter_3d)
             prep = preprocess(p_.xyz, scales, p_.rotation, opac,
                               gm.get_features(p_), gm.get_sg_axis(p_),
                               gm.get_sg_sharpness(p_), p_.sg_color,
                               camera, cfg, aux_.alive)
-            row_lo = jax.lax.axis_index(AXIS) * rows_per
+            prep = dataclasses.replace(prep, mean2d=prep.mean2d + mean2d_offset)
+            row_lo = i_dev * rows_per
             binning = bin_gaussians(
-                prep, cfg, camera.width, camera.height, row_lo=row_lo,
+                prep, cfg, width, height, row_lo=row_lo,
                 row_hi=jnp.minimum(row_lo + rows_per, tiles_y),
                 pair_capacity=dev_pair_capacity)
-            local = _render_local_tiles(prep, binning, camera, cfg, bg_, my_tiles[0])
+            local = _render_local_tiles(prep, binning, camera, cfg, bg_,
+                                        my_tiles[0])
             full = {k: jax.lax.all_gather(v, AXIS, tiled=True)
                     for k, v in local.items()}
             img = _tiles_to_image(full["color"], tiles_x, tiles_y,
-                                  camera.width, camera.height, cfg)
-            ll1 = losses.l1_loss(img, gt)
-            ssim_val = losses.ssim(img, gt)
-            loss = (1 - loss_cfg.lambda_dssim) * ll1 + \
+                                  width, height, cfg)
+
+            # Differentiation protocol: `part` accumulates this device's BAND
+            # partial of the global loss (local masked sums over global
+            # denominators). Differentiating `part` per device and psum'ing
+            # the grads afterwards yields exactly d(global loss)/d(inputs).
+            # Psum'ing the *loss* before differentiating would not: the
+            # transpose of a forward psum re-broadcasts cotangents, scaling
+            # every gradient by n_dev. Global metric values are assembled
+            # from psum'd sums as non-differentiated aux outputs.
+
+            # --- banded L1 (appearance-aware) -------------------------------
+            r0 = i_dev * bh
+            if loss_cfg.appearance == "gof":
+                from gsjax.model.appearance import gof_mapped
+                mapped, crop_gt = gof_mapped(img, gt, net_, emb_)
+                hc, wc = mapped.shape[0], mapped.shape[1]
+                bhc = -(-hc // n_dev)
+                r0c = i_dev * bhc
+                m_b = _row_slice(mapped, r0c, bhc, n_dev * bhc)
+                g_b = _row_slice(crop_gt, r0c, bhc, n_dev * bhc)
+                rmask = (r0c + jnp.arange(bhc)) < hc
+                l1_s = jnp.sum(jnp.where(rmask[:, None, None],
+                                         jnp.abs(m_b - g_b), 0.0))
+                l1_den = hc * wc * 3
+            else:
+                img_b = _row_slice(img, r0, bh, n_dev * bh)
+                gt_b = _row_slice(gt, r0, bh, n_dev * bh)
+                if loss_cfg.appearance == "gs":
+                    img_b = img_b @ emb_[:3, :3].T + emb_[:3, 3]
+                elif loss_cfg.appearance == "pgsr":
+                    img_b = jnp.exp(emb_[0]) * img_b + emb_[1]
+                rmask = (r0 + jnp.arange(bh)) < height
+                l1_s = jnp.sum(jnp.where(rmask[:, None, None],
+                                         jnp.abs(img_b - gt_b), 0.0))
+                l1_den = height * width * 3
+            ll1 = jax.lax.psum(l1_s, AXIS) / l1_den
+
+            # --- banded SSIM (input slice = band + 10 halo rows) ------------
+            r0v = i_dev * bv
+            img_s = _row_slice(img, r0v, bv + 10, n_dev * bv + 10)
+            gt_s = _row_slice(gt, r0v, bv + 10, n_dev * bv + 10)
+            vmask = (r0v + jnp.arange(bv)) < hv
+            ssim_s = losses.ssim_partial(img_s, gt_s, vmask)
+            ssim_den = hv * wv * 3
+            ssim_val = jax.lax.psum(ssim_s, AXIS) / ssim_den
+
+            part = (1 - loss_cfg.lambda_dssim) * l1_s / l1_den - \
+                loss_cfg.lambda_dssim * ssim_s / ssim_den
+            total = (1 - loss_cfg.lambda_dssim) * ll1 + \
                 loss_cfg.lambda_dssim * (1 - ssim_val)
+
+            dn_loss = jnp.zeros(())
+            ncc_l = geo_l = jnp.zeros(())
             need_geom = loss_cfg.reg_on and cfg.require_depth and (
                 loss_cfg.lambda_depth_normal > 0 or mv_on)
             if need_geom:
                 depth = _tiles_to_image(full["median_depth"], tiles_x, tiles_y,
-                                        camera.width, camera.height, cfg)
+                                        width, height, cfg)
                 nrm = _tiles_to_image(full["normal"], tiles_x, tiles_y,
-                                      camera.width, camera.height, cfg)
-            if loss_cfg.reg_on and loss_cfg.lambda_depth_normal > 0 and cfg.require_depth:
-                dnormal, valid = losses.depth_to_normal(
-                    depth, camera.fx, camera.fy, camera.cx, camera.cy)
-                loss = loss + loss_cfg.lambda_depth_normal * \
-                    losses.depth_normal_loss(nrm, dnormal, valid)
+                                      width, height, cfg)
+            if (loss_cfg.reg_on and loss_cfg.lambda_depth_normal > 0
+                    and cfg.require_depth):
+                # banded depth->normal with a 1-row halo each side; boundary
+                # rows disagree with the full-frame path only where
+                # valid=False, so the masked loss matches exactly
+                dpad = jnp.pad(depth, ((1, n_dev * bh + 1 - height), (0, 0)))
+                d_s = jax.lax.dynamic_slice_in_dim(dpad, r0, bh + 2, 0)
+                dn_s, dv_s = losses.depth_to_normal(
+                    d_s, camera.fx, camera.fy, camera.cx,
+                    camera.cy - (r0 - 1).astype(jnp.float32))
+                dnormal_b, dvalid_b = dn_s[1:-1], dv_s[1:-1]
+                nrm_b = _row_slice(nrm, r0, bh, n_dev * bh)
+                rmask = (r0 + jnp.arange(bh)) < height
+                err = 1.0 - jnp.sum(nrm_b * dnormal_b, axis=-1)
+                dsum = jnp.sum(jnp.where(dvalid_b & rmask[:, None], err, 0.0))
+                dn_loss = jax.lax.psum(dsum, AXIS) / (height * width)
+                part = part + loss_cfg.lambda_depth_normal * \
+                    dsum / (height * width)
+                total = total + loss_cfg.lambda_depth_normal * dn_loss
             if mv_on:
                 from gsjax.train.multiview import patchmatch_terms
                 # this device's horizontal band (pad rows -> depth 0 -> masked)
-                r0 = jax.lax.axis_index(AXIS) * band
-                pad_rows = band * n_dev - camera.height
-                dep_p = jnp.pad(depth, ((0, pad_rows), (0, 0)))
-                nrm_p = jnp.pad(nrm, ((0, pad_rows), (0, 0), (0, 0)))
-                dep_b = jax.lax.dynamic_slice_in_dim(dep_p, r0, band, 0)
-                nrm_b = jax.lax.dynamic_slice_in_dim(nrm_p, r0, band, 0)
+                dep_b = _row_slice(depth, r0, bh, n_dev * bh)
+                nrm_mv = _row_slice(nrm, r0, bh, n_dev * bh)
                 ncc_s, ncc_c, geo_s, geo_c = patchmatch_terms(
-                    dep_b, nrm_b, p_.xyz, scales, p_.rotation, opac,
+                    dep_b, nrm_mv, p_.xyz, scales, p_.rotation, opac,
                     aux_.alive, camera, near_cam, gr, gn, cfg,
                     loss_cfg.pixel_noise_th, loss_cfg.patch_size,
                     row_offset=r0)
-                ncc_s = jax.lax.psum(ncc_s, AXIS)
+                # counts are stop_gradient'd masks -> global denominators are
+                # constants wrt autodiff
                 ncc_c = jax.lax.psum(ncc_c, AXIS)
-                geo_s = jax.lax.psum(geo_s, AXIS)
                 geo_c = jax.lax.psum(geo_c, AXIS)
                 any_mask = geo_c > 0
-                ncc_l = jnp.where(any_mask, ncc_s / jnp.maximum(ncc_c, 1), 0.0)
-                geo_l = jnp.where(any_mask, geo_s / jnp.maximum(geo_c, 1), 0.0)
-                loss = loss + loss_cfg.lambda_mv_ncc * ncc_l \
+                ncc_gs = jax.lax.psum(ncc_s, AXIS)
+                geo_gs = jax.lax.psum(geo_s, AXIS)
+                ncc_l = jnp.where(any_mask,
+                                  ncc_gs / jnp.maximum(ncc_c, 1), 0.0)
+                geo_l = jnp.where(any_mask,
+                                  geo_gs / jnp.maximum(geo_c, 1), 0.0)
+                anyf = any_mask.astype(jnp.float32)
+                part = part + loss_cfg.lambda_mv_ncc * anyf * \
+                    ncc_s / jnp.maximum(ncc_c, 1) \
+                    + loss_cfg.lambda_mv_geo * anyf * \
+                    geo_s / jnp.maximum(geo_c, 1)
+                total = total + loss_cfg.lambda_mv_ncc * ncc_l \
                     + loss_cfg.lambda_mv_geo * geo_l
-            return loss
 
-        loss, gp = jax.value_and_grad(loss_fn)(p)
-        gp = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, AXIS), gp)
+            metrics = dict(
+                loss=total, l1=ll1, ssim=ssim_val, dn_loss=dn_loss,
+                ncc_loss=ncc_l, geo_loss=geo_l,
+                num_pairs=jax.lax.psum(binning.num_pairs, AXIS),
+                dev_num_pairs=jax.lax.pmax(binning.num_pairs, AXIS),
+                max_tile_count=jax.lax.pmax(binning.max_tile_count, AXIS))
+            side = dict(visibility=prep.radius > 0, radii=prep.radius)
+            return part, (jax.lax.stop_gradient(metrics), side)
+
+        zeros2d = jnp.zeros((p.capacity, 2))
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3),
+                                     has_aux=True)
+        (_, (metrics, side)), (gp, g2d, g_emb, g_net) = grad_fn(
+            p, zeros2d, emb, net)
+        # every loss term is a psum of band partials, so each device's grad is
+        # its band's contribution; psum completes the reduction over the mesh
+        psum = lambda g: jax.lax.psum(g, AXIS)
+        gp = jax.tree_util.tree_map(psum, gp)
+        g2d = psum(g2d)
+        g_emb = psum(g_emb)
+        g_net = jax.tree_util.tree_map(psum, g_net)
 
         def _mask(g):
             m = aux_.alive.reshape((-1,) + (1,) * (g.ndim - 1))
             return jnp.where(m, g, 0.0)
         gp = jax.tree_util.tree_map(_mask, gp)
-        return loss, gp
+        g2d = _mask(g2d)
+        return metrics, side, gp, g2d, g_emb, g_net
 
-    loss, gp = run(params, aux, gt_image, bg, tile_ids, gray_r, gray_n)
+    metrics, side, gp, g2d, g_emb, g_net = run(
+        params, aux, gt_image, bg, tile_ids, gray_r, gray_n,
+        app_embedding, app_net)
+    metrics["app_grad"] = g_emb
+    metrics["app_net_grad"] = g_net
+    aux = gm.add_densification_stats(aux, g2d, side["visibility"],
+                                     width, height)
+    aux = dataclasses.replace(
+        aux, max_radii=jnp.maximum(
+            aux.max_radii, jnp.where(side["visibility"], side["radii"], 0)))
     params, adam = gm.adam_update(params, gp, adam, lrs)
-    return params, adam, loss
+    return params, aux, adam, metrics

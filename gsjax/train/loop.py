@@ -57,6 +57,11 @@ class Trainer:
     max_per_tile: int = 1 << 10
     iteration: int = 0
     key: jax.Array = None
+    # multi-chip: tiles sharded over `mesh` (None = single-device step);
+    # each device bins only its own row band into a dev_pair_capacity buffer
+    mesh: "object" = None
+    dev_pair_capacity: int = 1 << 16
+    random_background: bool = False
 
     @staticmethod
     def create(scene: SceneInfo, opt, model_path, sh_degree=3, sg_degree=0,
@@ -133,18 +138,41 @@ class Trainer:
             gt = gt * m + self.bg()[None, None, :] * (1 - m)
         return gt
 
+    @property
+    def sharded(self) -> bool:
+        return self.mesh is not None and self.mesh.devices.size > 1
+
+    def overflowed(self, metrics) -> bool:
+        """True when this step's binning dropped pairs (buffers too small):
+        the step trained on a truncated pair list and must be retried after
+        bumping (binning truncates at pair_capacity, the kernels clamp tiles
+        at max_per_tile)."""
+        if int(metrics["max_tile_count"]) > self.max_per_tile:
+            return True
+        if self.sharded:
+            return int(metrics["dev_num_pairs"]) > self.dev_pair_capacity
+        return int(metrics["num_pairs"]) > self.pair_capacity
+
     def monitor_capacity(self, metrics):
         """Bump static buckets when high-water marks approach them.
 
         Growth factors are coarse (x2.5-3 before pow2 rounding) on purpose:
         every bump recompiles the train step (the reg-phase program costs
         minutes on TPU), so fewer, bigger jumps beat tight sizing. Memory is
-        cheap relative — a pair slot is 16 floats."""
+        cheap relative — a pair slot is 16 floats. An overflow (watermark
+        already crossed) always triggers the corresponding bump, so the
+        overflow-retry path in step() reuses this."""
         recompiled = False
-        npairs = int(metrics["num_pairs"])
-        if npairs > 0.85 * self.pair_capacity:
-            self.pair_capacity = next_pow2(int(npairs * 3.0))
-            recompiled = True
+        if self.sharded:
+            npairs = int(metrics["dev_num_pairs"])
+            if npairs > 0.85 * self.dev_pair_capacity:
+                self.dev_pair_capacity = next_pow2(int(npairs * 3.0))
+                recompiled = True
+        else:
+            npairs = int(metrics["num_pairs"])
+            if npairs > 0.85 * self.pair_capacity:
+                self.pair_capacity = next_pow2(int(npairs * 3.0))
+                recompiled = True
         mtc = int(metrics["max_tile_count"])
         if mtc > 0.9 * self.max_per_tile:
             self.max_per_tile = next_pow2(int(mtc * 2.5))
@@ -186,13 +214,38 @@ class Trainer:
             appearance=self.app.kind)
 
         emb = self.app.table[view.uid] if self.app.table is not None else None
-        self.params, self.aux, self.adam, metrics = train_step(
-            self.params, self.aux, self.adam, view.camera, self.gt_for(view),
-            self.bg(), self.lrs(), cfg, lcfg,
+        if self.random_background:
+            # train.py:91: random bg decorrelates background from geometry
+            self.key, kbg = jax.random.split(self.key)
+            bg = jax.random.uniform(kbg, (3,))
+        else:
+            bg = self.bg()
+        common = dict(
             app_embedding=emb, app_net=self.app.net,
             near_cam=near.camera if near is not None else None,
             gray_r=jnp.asarray(view.gray) if near is not None else None,
             gray_n=jnp.asarray(near.gray) if near is not None else None)
+
+        # Overflow-retry: the step is functional, so if this view's binning
+        # outgrew the static buffers (pairs truncated -> dropped gradients)
+        # we discard the returned state, bump capacities (recompile) and
+        # re-run the SAME view loss-free — no step ever trains truncated.
+        for _attempt in range(4):
+            if self.sharded:
+                from gsjax.parallel import train_step_sharded
+                p2, aux2, adam2, metrics = train_step_sharded(
+                    self.params, self.aux, self.adam, view.camera,
+                    self.gt_for(view), bg, self.lrs(), cfg, lcfg, self.mesh,
+                    dev_pair_capacity=self.dev_pair_capacity, **common)
+            else:
+                p2, aux2, adam2, metrics = train_step(
+                    self.params, self.aux, self.adam, view.camera,
+                    self.gt_for(view), bg, self.lrs(), cfg, lcfg, **common)
+            if not self.overflowed(metrics):
+                break
+            self.monitor_capacity(metrics)   # grows the overflowed bucket
+            cfg = self.raster_cfg(require_depth=reg_on)
+        self.params, self.aux, self.adam = p2, aux2, adam2
 
         # debug snapshot on blow-up (equivalent of the reference's
         # snapshot_fw.dump on CUDA exception,
@@ -255,11 +308,19 @@ class Trainer:
     # --- eval / io -----------------------------------------------------------
 
     def render_view(self, view, require_depth=True):
+        return self.render_camera(view.camera, require_depth=require_depth)
+
+    def render_camera(self, camera, scaling_modifier=1.0, require_depth=True):
+        """Render an arbitrary camera (viewer path). scaling_modifier
+        multiplies post-activation scales dynamically (no recompile per
+        slider value, unlike the static cfg.scale_modifier)."""
         cfg = self.raster_cfg(require_depth)
         scales, opac = gm.scaling_n_opacity_with_3d_filter(self.params,
                                                            self.aux.filter_3d)
+        if scaling_modifier != 1.0:
+            scales = scales * jnp.float32(scaling_modifier)
         return render(self.params.xyz, scales, self.params.rotation, opac,
-                      gm.get_features(self.params), view.camera, cfg, self.bg(),
+                      gm.get_features(self.params), camera, cfg, self.bg(),
                       sg_axis=gm.get_sg_axis(self.params),
                       sg_sharpness=gm.get_sg_sharpness(self.params),
                       sg_color=self.params.sg_color, alive=self.aux.alive)
@@ -278,15 +339,46 @@ class Trainer:
         save_ply(path, self.params, self.aux)
 
     def save_ckpt(self):
-        extra = {}
-        if self.app.table is not None:
-            extra["app_table"] = np.asarray(self.app.table)
+        # full appearance state (table + GOF net + both Adam states), matching
+        # the reference capture() contents (scene/gaussian_model.py:88-113)
+        extra = app_lib.state_to_arrays(self.app)
         save_checkpoint(os.path.join(self.model_path, f"chkpnt{self.iteration}.npz"),
                         self.params, self.aux, self.adam, self.iteration, extra)
 
 
+def serve_viewer(gui, trainer: Trainer, source_path: str, final_iter: int):
+    """Serve one viewer exchange round (reference train.py:93-120): receive a
+    camera, render it at the requested scaling modifier, send the RGB bytes +
+    the source-path verify string; loop while the client wants us paused
+    (keep_alive semantics). Socket errors drop the connection silently."""
+    from gsjax.ops.raster.camera import Camera
+
+    if gui.conn is None:
+        gui.try_connect()
+    while gui.conn is not None:
+        try:
+            cam_d, do_training, keep_alive, scaling_mod = gui.receive()
+            img_bytes = None
+            if cam_d is not None:
+                cam = Camera.from_matrices(
+                    cam_d["width"], cam_d["height"], cam_d["fovx"],
+                    cam_d["fovy"], cam_d["world_view"], cam_d["full_proj"])
+                out = trainer.render_camera(cam, scaling_modifier=scaling_mod,
+                                            require_depth=False)
+                img_bytes = np.asarray(
+                    jnp.clip(out["render"], 0, 1) * 255).astype(np.uint8)
+            gui.send(img_bytes, source_path)
+            if do_training and (trainer.iteration < final_iter
+                                or not keep_alive):
+                break
+        except Exception:
+            gui.disconnect()
+
+
 def run_training(lp, op, pp, args):
     """Full CLI training entry (mirrors train.py:__main__ + training())."""
+    from gsjax.parallel.multihost import maybe_init_distributed
+    maybe_init_distributed(args)   # must precede any other JAX usage
     scene = load_scene(lp.source_path, lp.images, lp.masks or None,
                        lp.eval, lp.resolution, lp.white_background)
     build_nearest_view_graph(scene.train_views, lp.multi_view_max_angle,
@@ -305,12 +397,22 @@ def run_training(lp, op, pp, args):
         disable_filter3d=lp.disable_filter3D,
         appearance=APPEARANCE_KINDS[lp.use_decoupled_appearance])
 
+    trainer.random_background = bool(getattr(op, "random_background", False))
+    n_req = int(getattr(args, "n_devices", 1) or 1)
+    if n_req != 1:
+        from gsjax.parallel import make_mesh
+        n = len(jax.devices()) if n_req <= 0 else n_req
+        if n > 1:
+            trainer.mesh = make_mesh(n)
+            trainer.dev_pair_capacity = next_pow2(
+                int(trainer.pair_capacity / n * 1.5))
+            print(f"Sharding tiles over {n} devices "
+                  f"({jax.process_count()} process(es))")
+
     if getattr(args, "start_checkpoint", None):
         p, a, ad, it, extra = load_checkpoint(args.start_checkpoint)
         trainer.params, trainer.aux, trainer.adam, trainer.iteration = p, a, ad, it
-        if "app_table" in extra and trainer.app.table is not None:
-            trainer.app = dataclasses.replace(
-                trainer.app, table=jnp.asarray(extra["app_table"]))
+        trainer.app = app_lib.state_from_arrays(trainer.app, extra)
 
     test_iters = set(getattr(args, "test_iterations", [7000, 30000]))
     save_iters = set(getattr(args, "save_iterations", [7000, 30000]))
@@ -328,6 +430,15 @@ def run_training(lp, op, pp, args):
         pass
     profile_iter = int(getattr(args, "profile_iter", 0) or 0)
 
+    # live-viewer server (SIBR remote protocol), reference train.py:93-120
+    gui = None
+    if getattr(args, "ip", None):
+        from gsjax.viewer.network_gui import NetworkGUI
+        try:
+            gui = NetworkGUI(args.ip, int(getattr(args, "port", 6009)))
+        except OSError as e:
+            print(f"viewer server unavailable ({e}); training without GUI")
+
     ema = 0.0
     t0 = time.time()
     profiling = False
@@ -336,6 +447,8 @@ def run_training(lp, op, pp, args):
         # tracing — replaces the reference's cuda-event iter timing). The
         # profiled steps ARE the loop's steps, so test/save/ckpt bookkeeping
         # below still sees every iteration.
+        if gui is not None:
+            serve_viewer(gui, trainer, lp.source_path, op.iterations)
         if profile_iter and trainer.iteration + 1 == profile_iter:
             jax.profiler.start_trace(os.path.join(lp.model_path, "profile"))
             profiling = True

@@ -48,8 +48,8 @@ def _blur_valid(img, win):
     return sum(win[i] * x[i:h - k + 1 + i, :] for i in range(k))
 
 
-def ssim(img1, img2, window_size=11, sigma=1.5):
-    """Mean SSIM over valid region, [H,W,C] inputs."""
+def _ssim_map(img1, img2, window_size=11, sigma=1.5):
+    """Clipped valid-mode SSIM map, [H-k+1, W-k+1, C]."""
     win = _gaussian_window(window_size, sigma)
     mu1 = _blur_valid(img1, win)
     mu2 = _blur_valid(img2, win)
@@ -63,7 +63,22 @@ def ssim(img1, img2, window_size=11, sigma=1.5):
     s12 = _blur_valid(img1 * img2, win) - mu12
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
-    return jnp.mean(jnp.clip(ssim_map, -1.0, 1.0))
+    return jnp.clip(ssim_map, -1.0, 1.0)
+
+
+def ssim(img1, img2, window_size=11, sigma=1.5):
+    """Mean SSIM over valid region, [H,W,C] inputs."""
+    return jnp.mean(_ssim_map(img1, img2, window_size, sigma))
+
+
+def ssim_partial(img1, img2, row_mask, window_size=11, sigma=1.5):
+    """Masked partial SSIM sum for band-sharded loss computation.
+
+    img1/img2: [Hs, W, C] row slices; the valid-mode map has Hs-k+1 output
+    rows, masked by row_mask [Hs-k+1] (True = this device owns the row).
+    The full-frame mean is psum(partial sums) / ((H-k+1)(W-k+1)C)."""
+    m = _ssim_map(img1, img2, window_size, sigma)
+    return jnp.sum(jnp.where(row_mask[:, None, None], m, 0.0))
 
 
 def depth_to_normal(depth, fx, fy, cx, cy):

@@ -1,0 +1,147 @@
+"""Golden-scene quality tracking: PSNR + chamfer on a deterministic scene.
+
+The image has no DTU/MipNeRF/TnT datasets, so rounds are compared on a
+synthetic golden scene instead: flattened gaussians on a unit sphere
+(`gsjax.data.synth.sphere_gaussians`) rendered from a 360-degree camera ring
+into a binary COLMAP dataset, trained from the (jittered) sparse points with
+the full schedule (densify + PGSR regularisation), then
+
+  - test PSNR on the held-out every-8th views (reference NVS protocol,
+    scene/dataset_readers.py:219-224),
+  - TSDF mesh extraction + symmetric chamfer against the analytic sphere
+    (the stand-in for the DTU chamfer protocol, dtu_eval/eval.py:36-39).
+
+Writes a JSON file (default QUALITY.json) with the metrics; the round driver
+stores one per round so regressions across rounds are visible.
+
+Usage: python scripts/golden_quality.py [--out QUALITY_r02.json]
+       [--iterations 2000] [--width 256] [--height 192] [--n_images 24]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from argparse import Namespace
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="QUALITY.json")
+    ap.add_argument("--iterations", type=int, default=2000)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=192)
+    ap.add_argument("--n_images", type=int, default=24)
+    ap.add_argument("--n_gauss", type=int, default=1500)
+    ap.add_argument("--scene_dir", default="",
+                    help="reuse/keep the generated scene here")
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform (e.g. cpu) — the axon jaxlib "
+                         "ignores JAX_PLATFORMS, so this goes through "
+                         "jax.config like tests/conftest.py")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from gsjax.config import OptimizationParams
+    from gsjax.data.readers import build_nearest_view_graph, load_scene
+    from gsjax.data.synth import ring_pose, sphere_gaussians, write_rendered_colmap
+    from gsjax.mesh.extract import extract_mesh_tsdf
+    from gsjax.train.loop import Trainer
+    from gsjax.train.losses import psnr
+
+    t_start = time.time()
+    root = args.scene_dir or os.path.join(tempfile.gettempdir(),
+                                          "gsjax_golden_scene")
+    if not os.path.exists(os.path.join(root, "sparse")):
+        print(f"generating golden scene at {root}", flush=True)
+        write_rendered_colmap(
+            root, n_images=args.n_images, width=args.width,
+            height=args.height, gaussians=sphere_gaussians(args.n_gauss),
+            pose_fn=ring_pose, points_noise=0.03,
+            pair_capacity=1 << 17, max_per_tile=1 << 10)
+
+    scene = load_scene(root, "images", None, eval_split=True)
+    build_nearest_view_graph(scene.train_views, 30, 0.01, 1.5, 8)
+
+    o = Namespace(**OptimizationParams._defaults())
+    o.iterations = args.iterations
+    o.densify_from_iter = 300
+    o.densify_until_iter = int(args.iterations * 0.75)
+    o.densification_interval = 100
+    o.opacity_reset_interval = 100_000          # run too short for resets
+    o.regularization_from_iter = args.iterations // 2
+    o.position_lr_max_steps = args.iterations
+
+    model_path = os.path.join(tempfile.gettempdir(), "gsjax_golden_out")
+    os.makedirs(model_path, exist_ok=True)
+    trainer = Trainer.create(scene, o, model_path, sh_degree=2)
+
+    log_every = max(args.iterations // 10, 1)
+    while trainer.iteration < o.iterations:
+        metrics = trainer.step()
+        if trainer.iteration % log_every == 0:
+            print(f"it {trainer.iteration}: loss={float(metrics['loss']):.4f} "
+                  f"({time.time() - t_start:.0f}s)", flush=True)
+
+    # --- NVS: PSNR over the held-out views ----------------------------------
+    vals = []
+    for v in scene.test_views:
+        out = trainer.render_view(v, require_depth=True)
+        vals.append(float(psnr(jnp.clip(out["render"], 0, 1),
+                               trainer.gt_for(v))))
+    test_psnr = float(np.mean(vals)) if vals else float("nan")
+    print(f"test PSNR over {len(vals)} held-out views: {test_psnr:.2f} dB",
+          flush=True)
+
+    # --- geometry: TSDF mesh vs the analytic unit sphere --------------------
+    mesh = extract_mesh_tsdf(
+        lambda v: trainer.render_view(v, require_depth=True),
+        scene.train_views, voxel_size=0.02, depth_trunc=6.0)
+    verts, faces = mesh["post"]
+    if len(verts) == 0:
+        verts, faces = mesh["raw"]
+    r = np.linalg.norm(verts, axis=1)
+    d2s = float(np.mean(np.abs(r - 1.0)))       # mesh -> surface
+    # surface -> mesh: nearest mesh vertex from uniform sphere samples
+    from scipy.spatial import cKDTree
+    rng = np.random.default_rng(0)
+    s = rng.normal(0, 1, (20000, 3))
+    s /= np.linalg.norm(s, axis=1, keepdims=True)
+    s2d = float(np.mean(cKDTree(verts).query(s, k=1)[0])) if len(verts) \
+        else float("inf")
+    chamfer = 0.5 * (d2s + s2d)
+    print(f"mesh: {len(verts)} verts; chamfer={chamfer:.4f} "
+          f"(d2s={d2s:.4f}, s2d={s2d:.4f})", flush=True)
+
+    result = {
+        "scene": "sphere_ring",
+        "iterations": args.iterations,
+        "n_train_views": len(scene.train_views),
+        "n_test_views": len(scene.test_views),
+        "n_gaussians_final": int(np.sum(np.asarray(trainer.aux.alive))),
+        "test_psnr_db": round(test_psnr, 3),
+        "chamfer": round(chamfer, 5),
+        "chamfer_d2s": round(d2s, 5),
+        "chamfer_s2d": round(s2d, 5),
+        "mesh_vertices": int(len(verts)),
+        "wall_s": round(time.time() - t_start, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -137,3 +137,98 @@ def test_multiview_losses_fire_on_consistent_scene():
     assert float(geo) > 1e-6, "geometric loss empty on a consistent scene"
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def _mk_trainer(root, opt, model_path, appearance="no", seed=0):
+    from gsjax.data.readers import build_nearest_view_graph, load_scene
+    scene = load_scene(root, "images", None, False, -1, False)
+    build_nearest_view_graph(scene.train_views, 30, 0.01, 1.5, 8)
+    return Trainer.create(scene, opt, model_path, sh_degree=1,
+                          appearance=appearance, seed=seed)
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_equivalence(tmp_path):
+    """train 10 -> full checkpoint -> resume 10  ==  train 20 straight,
+    including the GOF appearance net + both Adam states (the reference's
+    capture()/restore() contract, scene/gaussian_model.py:88-144)."""
+    import random
+
+    import jax
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    write_synthetic_colmap(root, n_images=5, width=64, height=32)
+    opt = small_opt(iterations=20)
+    opt.densify_from_iter = 10_000            # no densify: RNG key not in ckpt
+
+    random.seed(7)
+    ta = _mk_trainer(root, opt, str(tmp_path / "a"), appearance="gof")
+    for _ in range(20):
+        ta.step()
+
+    random.seed(7)
+    tb = _mk_trainer(root, opt, str(tmp_path / "b"), appearance="gof")
+    for _ in range(10):
+        tb.step()
+    tb.save_ckpt()
+
+    from gsjax.model.io import load_checkpoint
+    tc = _mk_trainer(root, opt, str(tmp_path / "c"), appearance="gof")
+    p, a, ad, it, extra = load_checkpoint(
+        os.path.join(str(tmp_path / "b"), "chkpnt10.npz"))
+    tc.params, tc.aux, tc.adam, tc.iteration = p, a, ad, it
+    tc.app = app_lib.state_from_arrays(tc.app, extra)
+    for _ in range(10):                        # continues b's random stream
+        tc.step()
+
+    for la, lc in zip(jax.tree_util.tree_leaves(ta.params),
+                      jax.tree_util.tree_leaves(tc.params)):
+        np.testing.assert_allclose(np.asarray(lc), np.asarray(la),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tc.app.table),
+                               np.asarray(ta.app.table), rtol=1e-5, atol=1e-7)
+    for la, lc in zip(jax.tree_util.tree_leaves(ta.app.net),
+                      jax.tree_util.tree_leaves(tc.app.net)):
+        np.testing.assert_allclose(np.asarray(lc), np.asarray(la),
+                                   rtol=1e-5, atol=1e-7)
+    for la, lc in zip(jax.tree_util.tree_leaves(ta.adam.mu),
+                      jax.tree_util.tree_leaves(tc.adam.mu)):
+        np.testing.assert_allclose(np.asarray(lc), np.asarray(la),
+                                   rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_overflow_retry_matches_presized(tmp_path):
+    """A trainer starting with too-small pair buffers must bump + retry the
+    same view and land on EXACTLY the params of a pre-sized run (no step
+    trains on truncated pairs)."""
+    import random
+
+    import jax
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    write_synthetic_colmap(root, n_images=4, width=64, height=32)
+    opt = small_opt(iterations=4)
+    opt.densify_from_iter = 10_000
+
+    random.seed(3)
+    small = _mk_trainer(root, opt, str(tmp_path / "s"))
+    small.pair_capacity = 1 << 4              # the scene bins ~6-27 pairs/view
+    small.max_per_tile = 1 << 3               # ... with tiles up to ~15 deep
+    for _ in range(3):
+        small.step()
+    assert small.pair_capacity > (1 << 4)     # the retry actually bumped
+
+    random.seed(3)
+    big = _mk_trainer(root, opt, str(tmp_path / "p"))
+    big.pair_capacity = 1 << 14
+    big.max_per_tile = 1 << 10
+    for _ in range(3):
+        big.step()
+
+    for ls, lb in zip(jax.tree_util.tree_leaves(small.params),
+                      jax.tree_util.tree_leaves(big.params)):
+        np.testing.assert_allclose(np.asarray(ls), np.asarray(lb),
+                                   rtol=1e-6, atol=1e-7)

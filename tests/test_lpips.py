@@ -1,0 +1,109 @@
+"""Lock the JAX LPIPS architecture + weight-converter mapping.
+
+Pretrained weights are unavailable offline, so the architecture is pinned
+against a torch re-implementation of the lpips package's exact forward
+(lpipsPyTorch / lpips.LPIPS(net='vgg') semantics) using RANDOM weights in
+torchvision state-dict layout — if either the converter key mapping or any
+architectural detail (padding, pool placement, slice taps, channel
+normalisation, head aggregation) drifts, the values diverge.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from gsjax.eval import lpips as L  # noqa: E402
+
+_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+        512, 512, 512, "M", 512, 512, 512]
+_HEAD_CH = [64, 128, 256, 512, 512]
+
+
+def _random_state_dicts(seed=0):
+    rng = np.random.default_rng(seed)
+    sd = {}
+    cin = 3
+    conv_i = 0
+    for c in _CFG:
+        if c == "M":
+            continue
+        n = L._TV_CONV_IDX[conv_i]
+        sd[f"features.{n}.weight"] = rng.normal(
+            0, 1.0 / np.sqrt(cin * 9), (c, cin, 3, 3)).astype(np.float32)
+        sd[f"features.{n}.bias"] = rng.normal(0, 0.05, (c,)).astype(np.float32)
+        cin = c
+        conv_i += 1
+    lins = [np.abs(rng.normal(0, 1, (1, ch, 1, 1))).astype(np.float32)
+            for ch in _HEAD_CH]
+    return sd, lins
+
+
+def _torch_lpips(arrs, img1, img2):
+    """The lpips package's forward, verbatim semantics in torch."""
+    import torch.nn.functional as F
+
+    shift = torch.tensor([-.030, -.088, -.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([.458, .448, .450]).view(1, 3, 1, 1)
+
+    def feats(img):
+        x = torch.tensor(np.asarray(img)).permute(2, 0, 1)[None] * 2 - 1
+        h = (x - shift) / scale
+        out = []
+        ci = 0
+        for c in _CFG:
+            if c == "M":
+                h = F.max_pool2d(h, 2)
+                continue
+            w = torch.tensor(arrs[f"conv{ci}_w"])
+            b = torch.tensor(arrs[f"conv{ci}_b"])
+            h = F.relu(F.conv2d(h, w, b, padding=1))
+            if ci in (1, 3, 6, 9, 12):
+                out.append(h)
+            ci += 1
+        return out
+
+    val = torch.zeros(())
+    for k, (a, b) in enumerate(zip(feats(img1), feats(img2))):
+        an = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        bn = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        d = (an - bn) ** 2
+        lin = torch.tensor(arrs[f"lin{k}_w"])
+        val = val + (d * lin).sum(1, keepdim=True).mean(dim=(2, 3)).squeeze()
+    return float(val)
+
+
+def test_lpips_matches_torch_reference():
+    sd, lins = _random_state_dicts()
+    arrs = L.convert_state_dicts(sd, lins)
+    assert len(arrs) == 13 * 2 + 5
+    rng = np.random.default_rng(1)
+    img1 = rng.uniform(0, 1, (64, 48, 3)).astype(np.float32)
+    img2 = np.clip(img1 + rng.normal(0, 0.1, img1.shape), 0, 1).astype(np.float32)
+
+    want = _torch_lpips(arrs, img1, img2)
+    got = L.lpips(img1, img2, weights=arrs)
+    assert got is not None
+    assert want > 0
+    np.testing.assert_allclose(got, want, rtol=2e-3)
+
+
+def test_lpips_zero_on_identical():
+    sd, lins = _random_state_dicts(seed=2)
+    arrs = L.convert_state_dicts(sd, lins)
+    img = np.random.default_rng(3).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    assert L.lpips(img, img, weights=arrs) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_lpips_npz_roundtrip(tmp_path):
+    sd, lins = _random_state_dicts(seed=4)
+    path = str(tmp_path / "w.npz")
+    L.convert_state_dicts(sd, lins, out_path=path)
+    import os
+    os.environ["GSJAX_LPIPS_WEIGHTS"] = path
+    try:
+        assert L.available()
+        w = L.load_weights()
+        assert set(w) == set(L.convert_state_dicts(sd, lins))
+    finally:
+        del os.environ["GSJAX_LPIPS_WEIGHTS"]

@@ -1,22 +1,41 @@
-"""Sharded (8 virtual CPU devices) render/train parity with single-device."""
+"""Sharded (8 virtual CPU devices) render/train parity with single-device.
+
+The sharded step computes every loss term as a psum of per-device band
+partial sums (gsjax/parallel/shard.py); these tests pin its losses, metrics,
+parameter updates and densification statistics to the single-device
+`train_step` within float tolerance.
+"""
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gsjax.model import gaussians as gm
-from gsjax.ops.raster import RasterConfig, render
 from gsjax.parallel import make_mesh, render_sharded, train_step_sharded
-from gsjax.train.step import LossConfig
+from gsjax.train.step import LossConfig, train_step
 from tests.test_train_step import make_cfg, make_model, render_params
 from tests.util import look_at_camera
 
 
-def test_render_sharded_matches_single():
-    cam = look_at_camera(width=96, height=64)
-    cfg = make_cfg(require_depth=True)
+def _setup(width=96, height=64, require_depth=True, n=60, seed=2):
+    cam = look_at_camera(width=width, height=height)
+    cfg = make_cfg(require_depth=require_depth)
     bg = jnp.zeros(3)
-    params, aux = make_model(n=60, capacity=100, seed=2)
+    params, aux = make_model(n=n, capacity=100, seed=seed)
+    adam = gm.adam_init(params)
+    gt = jnp.clip(render_params(params, aux, cam, cfg, bg)["render"] +
+                  0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                          (height, width, 3)), 0, 1)
+    lrs = dict(xyz=1.6e-4, features_dc=0.0025, features_rest=0.0001,
+               opacity=0.05, scaling=0.005, rotation=0.001,
+               sg_axis=0.0, sg_sharpness=0.0, sg_color=0.0)
+    return cam, cfg, bg, params, aux, adam, gt, lrs
+
+
+def test_render_sharded_matches_single():
+    cam, cfg, bg, params, aux, *_ = _setup()
     mesh = make_mesh()
     assert mesh.devices.size == 8
 
@@ -30,49 +49,115 @@ def test_render_sharded_matches_single():
                                np.asarray(single["median_depth"]), atol=1e-4)
 
 
-def test_train_step_sharded_runs():
-    cam = look_at_camera(width=64, height=64)
-    cfg = make_cfg(require_depth=False)
-    bg = jnp.zeros(3)
-    params, aux = make_model(n=60, capacity=100, seed=2)
-    adam = gm.adam_init(params)
-    gt = jnp.clip(render_params(params, aux, cam, cfg, bg)["render"] +
-                  0.1 * jax.random.normal(jax.random.PRNGKey(0), (64, 64, 3)), 0, 1)
-    lrs = dict(xyz=1.6e-4, features_dc=0.0025, features_rest=0.0001,
-               opacity=0.05, scaling=0.005, rotation=0.001,
-               sg_axis=0.0, sg_sharpness=0.0, sg_color=0.0)
+def test_train_step_sharded_matches_single_full():
+    """Params, Adam state, densify stats and all loss metrics match the
+    single-device step (reg on: banded L1 + SSIM + depth-normal)."""
+    cam, cfg, bg, params, aux, adam, gt, lrs = _setup(require_depth=True)
+    lc = LossConfig(reg_on=True)
+
+    p1, aux1, adam1, m1 = train_step(params, aux, adam, cam, gt, bg, lrs,
+                                     cfg, lc)
     mesh = make_mesh()
-    p2, adam2, loss = train_step_sharded(params, aux, adam, cam, gt, bg, lrs,
-                                         cfg, LossConfig(), mesh)
-    assert np.isfinite(float(loss))
-    # parameters actually moved
-    assert float(jnp.abs(p2.xyz - params.xyz).max()) > 0
-    for leaf in jax.tree_util.tree_leaves(p2):
-        assert np.isfinite(np.asarray(leaf)).all()
+    p2, aux2, adam2, m2 = train_step_sharded(params, aux, adam, cam, gt, bg,
+                                             lrs, cfg, lc, mesh)
+    for k in ("loss", "l1", "ssim", "dn_loss"):
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                   rtol=2e-4, atol=2e-5), k
+    assert int(m2["num_pairs"]) == int(m1["num_pairs"])
+    for l1, l2 in zip(jax.tree_util.tree_leaves(p1),
+                      jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   rtol=1e-3, atol=2e-5)
+    # densification statistics (psum'd mean2d gradient tap)
+    np.testing.assert_allclose(np.asarray(aux2.grad_accum),
+                               np.asarray(aux1.grad_accum),
+                               rtol=2e-3, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(aux2.denom), np.asarray(aux1.denom))
+    np.testing.assert_allclose(np.asarray(aux2.max_radii),
+                               np.asarray(aux1.max_radii))
 
 
 def test_train_step_sharded_multiview_matches_single():
-    """Band-sharded PGSR terms over 8 devices == single-device loss."""
-    from gsjax.train.step import train_step
-
-    cam = look_at_camera(width=64, height=64)
+    """Band-sharded PGSR terms over 8 devices == single-device metrics."""
+    cam, cfg, bg, params, aux, adam, _, lrs = _setup(
+        width=64, height=64, require_depth=True)
     near = look_at_camera(width=64, height=64, angle=0.12)
-    cfg = make_cfg(require_depth=True)
-    bg = jnp.zeros(3)
-    params, aux = make_model(n=60, capacity=100, seed=2)
-    adam = gm.adam_init(params)
     gt = jnp.clip(render_params(params, aux, cam, cfg, bg)["render"], 0, 1)
     gray = jnp.mean(gt, axis=-1)
-    lrs = dict(xyz=1.6e-4, features_dc=0.0025, features_rest=0.0001,
-               opacity=0.05, scaling=0.005, rotation=0.001,
-               sg_axis=0.0, sg_sharpness=0.0, sg_color=0.0)
     lc = LossConfig(reg_on=True, mv_on=True)
 
-    _, _, _, metrics = train_step(params, aux, adam, cam, gt, bg, lrs, cfg,
-                                  lc, near_cam=near, gray_r=gray, gray_n=gray)
+    _, _, _, m1 = train_step(params, aux, adam, cam, gt, bg, lrs, cfg,
+                             lc, near_cam=near, gray_r=gray, gray_n=gray)
     mesh = make_mesh()
-    _, _, loss_sh = train_step_sharded(params, aux, adam, cam, gt, bg, lrs,
-                                       cfg, lc, mesh, near_cam=near,
-                                       gray_r=gray, gray_n=gray)
-    np.testing.assert_allclose(float(loss_sh), float(metrics["loss"]),
+    _, _, _, m2 = train_step_sharded(params, aux, adam, cam, gt, bg, lrs,
+                                     cfg, lc, mesh, near_cam=near,
+                                     gray_r=gray, gray_n=gray)
+    for k in ("loss", "ncc_loss", "geo_loss"):
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                   rtol=2e-4, atol=2e-5), k
+
+
+def test_train_step_sharded_appearance_gof():
+    """GOF appearance (CNN + embedding) grads under sharding match the
+    single-device step; also exercises the gof train_step end-to-end."""
+    from gsjax.model import appearance as app_lib
+
+    cam, cfg, bg, params, aux, adam, gt, lrs = _setup(
+        width=64, height=64, require_depth=False)
+    app = app_lib.init_appearance("gof", 4, seed=0)
+    lc = LossConfig(appearance="gof")
+    emb = app.table[1]
+
+    p1, _, _, m1 = train_step(params, aux, adam, cam, gt, bg, lrs, cfg, lc,
+                              app_embedding=emb, app_net=app.net)
+    mesh = make_mesh()
+    p2, _, _, m2 = train_step_sharded(params, aux, adam, cam, gt, bg, lrs,
+                                      cfg, lc, mesh, app_embedding=emb,
+                                      app_net=app.net)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
                                rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m2["app_grad"]),
+                               np.asarray(m1["app_grad"]),
+                               rtol=2e-3, atol=1e-6)
+    for g1, g2 in zip(jax.tree_util.tree_leaves(m1["app_net_grad"]),
+                      jax.tree_util.tree_leaves(m2["app_net_grad"])):
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=2e-3, atol=1e-6)
+    for l1, l2 in zip(jax.tree_util.tree_leaves(p1),
+                      jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   rtol=1e-3, atol=2e-5)
+
+
+def test_sharded_training_with_densify_matches_single():
+    """A short sharded training run with densify + opacity reset stays in
+    lockstep with the single-device run (the dryrun_multichip protocol)."""
+    cam, cfg, bg, params, aux, adam, gt, lrs = _setup(
+        width=64, height=64, require_depth=False)
+    lc = LossConfig()
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(3)
+    extent = jnp.asarray(4.0)
+
+    s_params, s_aux, s_adam = params, aux, adam
+    d_params, d_aux, d_adam = params, aux, adam
+    for it in range(1, 25):
+        s_params, s_aux, s_adam, m1 = train_step(
+            s_params, s_aux, s_adam, cam, gt, bg, lrs, cfg, lc)
+        d_params, d_aux, d_adam, m2 = train_step_sharded(
+            d_params, d_aux, d_adam, cam, gt, bg, lrs, cfg, lc, mesh)
+        if it % 10 == 0:
+            key, k = jax.random.split(key)
+            s_params, s_aux, s_adam, _ = gm.densify_and_prune(
+                s_params, s_aux, s_adam, k, 2e-4, 0.05, extent, 0.01)
+            d_params, d_aux, d_adam, _ = gm.densify_and_prune(
+                d_params, d_aux, d_adam, k, 2e-4, 0.05, extent, 0.01)
+        if it == 15:
+            s_params, s_adam = gm.reset_opacity(s_params, s_aux, s_adam)
+            d_params, d_adam = gm.reset_opacity(d_params, d_aux, d_adam)
+    assert int(jnp.sum(s_aux.alive)) == int(jnp.sum(d_aux.alive))
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d_params.xyz),
+                               np.asarray(s_params.xyz),
+                               rtol=5e-3, atol=5e-4)

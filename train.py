@@ -25,6 +25,16 @@ def main():
     parser.add_argument("--profile_iter", type=int, default=0,
                         help="jax.profiler-trace 5 steps starting here "
                              "(writes <model_path>/profile)")
+    parser.add_argument("--n_devices", type=int, default=1,
+                        help="shard tiles over this many devices "
+                             "(1 = single-device step, <=0 = all devices)")
+    parser.add_argument("--dist_coordinator", type=str, default="",
+                        help="host0 addr:port for multi-host jax.distributed")
+    parser.add_argument("--dist_num_processes", type=int, default=1)
+    parser.add_argument("--dist_process_id", type=int, default=0)
+    parser.add_argument("--dist_auto", action="store_true", default=False,
+                        help="jax.distributed.initialize() with TPU-env "
+                             "auto-detection (Cloud TPU VMs)")
     args = parser.parse_args(sys.argv[1:])
     args.save_iterations.append(args.iterations)
     args.test_iterations.append(args.iterations)
