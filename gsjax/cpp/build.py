@@ -24,3 +24,20 @@ def build_lib(name: str, sources: list[str], extra_flags=()) -> str | None:
         import warnings
         warnings.warn(f"native build of {name} failed ({e}); using fallback")
         return None
+
+
+def build_exe(name: str, sources: list[str], extra_flags=()) -> str | None:
+    """Compile (once) a standalone native tool; returns its path or None."""
+    exe_path = os.path.join(_DIR, name)
+    srcs = [os.path.join(_DIR, s) for s in sources]
+    if os.path.exists(exe_path) and all(
+            os.path.getmtime(exe_path) >= os.path.getmtime(s) for s in srcs):
+        return exe_path
+    cmd = ["g++", "-O2", "-std=c++17", *extra_flags, *srcs, "-o", exe_path]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return exe_path
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        import warnings
+        warnings.warn(f"native build of {name} failed ({e})")
+        return None

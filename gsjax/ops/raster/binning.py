@@ -18,9 +18,14 @@ matching the reference backward which treats the binning as constant).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
+
+# fused (tile << bits | depth-msbs) u32 sort key vs lexicographic
+# (tile, depth) two-key sort — see the comment at the sort site
+_FUSED_SORT_KEY = os.environ.get("GSJAX_FUSED_SORT_KEY", "1") not in ("0", "")
 
 from gsjax.ops.raster.config import RasterConfig
 from gsjax.ops.raster.preprocess import Preprocessed
@@ -101,10 +106,30 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
 
     pair_valid = p_ids < total
     key_tile = jnp.where(pair_valid, tile, num_tiles).astype(jnp.int32)
-    key_depth = jnp.where(pair_valid, packed[:, 4], jnp.inf)
 
-    sorted_tile, _, sorted_g = jax.lax.sort(
-        (key_tile, key_depth, g), num_keys=2)
+    if _FUSED_SORT_KEY:
+        # One u32 key = tile_id << depth_bits | depth_msbs. Positive f32s
+        # compare identically to their bit patterns, so the depth's top
+        # (32 - tile_bits) exponent+mantissa bits preserve front-to-back
+        # order within a tile (tie order below ~2^-12 relative depth is
+        # unspecified-but-deterministic, like the reference's 64-bit radix
+        # key truncated to 32, rasterizer_impl.cu:98-100). Sorting (u32,
+        # i32) instead of
+        # (i32, f32, i32) with a 2-key lexicographic comparator roughly
+        # halves the TPU bitonic sort's compare + permute traffic.
+        tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+        depth_bits = 32 - tile_bits
+        dbits = jax.lax.bitcast_convert_type(
+            jnp.maximum(packed[:, 4], 0.0), jnp.uint32)
+        dq = jax.lax.shift_right_logical(dbits, jnp.uint32(tile_bits))
+        key = (key_tile.astype(jnp.uint32) << depth_bits) | \
+            jnp.where(pair_valid, dq, jnp.uint32(0xFFFFFFFF) >> tile_bits)
+        key, sorted_g = jax.lax.sort((key, g), num_keys=1)
+        sorted_tile = (key >> depth_bits).astype(jnp.int32)
+    else:
+        key_depth = jnp.where(pair_valid, packed[:, 4], jnp.inf)
+        sorted_tile, _, sorted_g = jax.lax.sort(
+            (key_tile, key_depth, g), num_keys=2)
 
     bounds = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)

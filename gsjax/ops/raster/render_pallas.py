@@ -136,22 +136,84 @@ def _pixel_rows(t, tiles_x, cfg: RasterConfig):
     return px, py
 
 
+_QUAD_MXU = int(_os.environ.get("GSJAX_QUAD_MXU", "0") or 0)
+
+
+def _quad_basis(t, tiles_x, cfg: RasterConfig):
+    """bf16 quadratic pixel basis of tile t + its centre offset.
+
+    Rows of B [8, P]: [1, xl, yl, xl^2, xl*yl, yl^2, 0, 0] in TILE-CENTRED
+    local coordinates xl = px - cx, yl = py - cy. With tile <= 32 every
+    entry is an integer of magnitude <= 256, hence EXACT in bf16 (8-bit
+    mantissa) — the basis operand contributes no rounding error to the
+    power/t_val matmuls; only the per-gaussian coefficients are split into
+    bf16 hi/lo(/mid) passes (`_Chunk`)."""
+    tile = cfg.tile
+    p = cfg.pixels_per_tile
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    half = _f32(tile / 2)
+    xl = (lin % tile).astype(_f32) - half               # [-t/2, t/2)
+    yl = (lin // tile).astype(_f32) - half
+    one = jnp.ones((1, p), _f32)
+    zero = jnp.zeros((1, p), _f32)
+    b = jnp.concatenate(
+        [one, xl, yl, xl * xl, xl * yl, yl * yl, zero, zero], axis=0)
+    cx = ((t % tiles_x) * tile).astype(_f32) + half
+    cy = ((t // tiles_x) * tile).astype(_f32) + half
+    return b.astype(jnp.bfloat16), cx, cy
+
+
 class _Chunk:
-    """Per-chunk gaussian columns + pixel-interaction terms."""
+    """Per-chunk gaussian columns + pixel-interaction terms.
+
+    With `basis` (forward paths only), `power` and `t_val` come from
+    hi/lo-split bf16 matmuls against the shared quadratic pixel basis —
+    VPU work moves to the otherwise-idle MXU, overlapping with the
+    transmittance scan. power(g;x,y) is quadratic and t_val linear in the
+    pixel coords, so both are exact contractions of per-gaussian
+    coefficient rows with [1, x, y, x^2, xy, y^2]. dx/dy are not
+    materialised on this path (the forward never uses them); the backward
+    keeps the exact direct VPU evaluation."""
 
     __slots__ = ("cols", "dx", "dy", "power", "t_val", "o")
 
-    def __init__(self, buf, c, px, py, eye):
+    def __init__(self, buf, c, px, py, eye, basis=None):
         o = pl.multiple_of(c * G, G)
         self.o = o
         cols = _dot(buf[:, pl.ds(o, G)], eye)          # [G, 16]
         self.cols = cols
-        dx = cols[:, 0:1] - px                          # [G, P]
-        dy = cols[:, 1:2] - py
         ca, cb, cc = cols[:, 2:3], cols[:, 3:4], cols[:, 4:5]
-        self.power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        self.t_val = cols[:, 9:10] * dx + cols[:, 10:11] * dy + cols[:, 11:12]
-        self.dx, self.dy = dx, dy
+        if basis is not None:
+            b, cx, cy = basis
+            xg = cols[:, 0:1] - cx                     # [G, 1] tile-centred
+            yg = cols[:, 1:2] - cy
+            zc = jnp.zeros((G, 1), _f32)
+            # power = A_pow . [1,x,y,x^2,xy,y^2]; t_val = A_t . [1,x,y]
+            a_pow = jnp.concatenate([
+                -0.5 * (ca * xg * xg + cc * yg * yg) - cb * xg * yg,
+                ca * xg + cb * yg,
+                cc * yg + cb * xg,
+                -0.5 * ca, -cb, -0.5 * cc, zc, zc], axis=1)
+            tx, ty = cols[:, 9:10], cols[:, 10:11]
+            a_t = jnp.concatenate([
+                tx * xg + ty * yg + cols[:, 11:12],
+                -tx, -ty, zc, zc, zc, zc, zc], axis=1)
+            a = jnp.concatenate([a_pow, a_t], axis=0)  # [2G, 8]
+            out = jnp.zeros((2 * G, b.shape[1]), _f32)
+            for _pass in range(max(_QUAD_MXU, 2)):
+                ah = a.astype(jnp.bfloat16)
+                out = out + _mm(ah, b, prec=jax.lax.Precision.DEFAULT)
+                a = a - ah.astype(_f32)
+            self.power = out[:G]
+            self.t_val = out[G:]
+            self.dx = self.dy = None
+        else:
+            dx = cols[:, 0:1] - px                      # [G, P]
+            dy = cols[:, 1:2] - py
+            self.power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            self.t_val = (cols[:, 9:10] * dx + cols[:, 10:11] * dy
+                          + cols[:, 11:12])
+            self.dx, self.dy = dx, dy
 
     def col(self, i):
         return self.cols[:, i:i + 1]
@@ -185,7 +247,7 @@ def _median_model(ch: _Chunk, a, ts):
 
 
 def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
-                   flags, cache, cfg: RasterConfig):
+                   flags, cache, cfg: RasterConfig, basis=None):
     """Binary-search T(t*)=0.5 (render_forward.cu:535-645 at equal
     resolution). Returns (m_t ray-distance median, in_range [1,P]).
 
@@ -210,7 +272,7 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
 
     def pre_body(c, carry):
         lf_const, used = carry
-        ch = _Chunk(buf, c, px, py, eye)
+        ch = _Chunk(buf, c, px, py, eye, basis)
         rel = _rel_ids(c)
         a, _, passes = ch.alpha(cfg, rel, count)
         applied = passes & (rel < n_contrib)
@@ -250,7 +312,7 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
                 return log_tp
 
             def recompute(log_tp):
-                ch = _Chunk(buf, c, px, py, eye)
+                ch = _Chunk(buf, c, px, py, eye, basis)
                 rel = _rel_ids(c)
                 a, _, passes = ch.alpha(cfg, rel, count)
                 applied = passes & (rel < n_contrib)
@@ -347,6 +409,7 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
 
     px, py = _pixel_rows(tileids_ref[t], tiles_x, cfg)
     eye = _eye16()
+    basis = _quad_basis(tileids_ref[t], tiles_x, cfg) if _QUAD_MXU else None
     n_chunks = (count + G - 1) // G
     tmin = _f32(cfg.transmittance_min)
 
@@ -355,7 +418,7 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
         # `keep` is monotone along the chunk (T only shrinks), so the carry
         # update is the min over kept inclusive transmittances.
         c, t_row, acc, last_idx, md_init = carry
-        ch = _Chunk(buf, c, px, py, eye)
+        ch = _Chunk(buf, c, px, py, eye, basis)
         rel = _rel_ids(c)
         a, _, passes = ch.alpha(cfg, rel, count)
         om = 1.0 - a
@@ -402,7 +465,8 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
 
     if cfg.require_depth:
         m_t, in_range = _median_search(buf, px, py, eye, n_contrib, count,
-                                       t_final, md_init, flags, cache, cfg)
+                                       t_final, md_init, flags, cache, cfg,
+                                       basis)
         rln = _ray_to_z(px, py, fx, fy, width, height)
         out_ref[0, 7:8, :] = m_t * rln
         out_ref[0, 11:12, :] = in_range.astype(_f32)

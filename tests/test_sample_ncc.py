@@ -184,3 +184,38 @@ def test_sample_depth_pallas_grads_match_ref():
         assert np.isfinite(gp).all()
         scale = np.abs(gr).max() + 1e-12
         assert np.abs(gr - gp).max() / scale < 8e-2
+
+
+def test_evaluate_sdf_sign_and_surface():
+    """evaluate_sdf = median ray depth - point ray depth: ~0 on the rendered
+    median surface, positive in front of it, negative behind (the
+    evaluateSDFCUDA contract, sample_forward.cu:171-428)."""
+    from gsjax.ops.sample import evaluate_sdf
+
+    (means, scales, q, op, shs), cam, cfg, out = scene_and_render()
+    depth = np.asarray(out["median_depth"])
+    h, w = depth.shape
+    xs = (np.arange(w) - (w - 1) / 2) / float(cam.fx)
+    ys = (np.arange(h) - (h - 1) / 2) / float(cam.fy)
+    pts = np.stack([depth * xs[None, :], depth * ys[:, None], depth], -1)
+    pts = pts.reshape(-1, 3)[depth.reshape(-1) > 0.5][::11]
+    pts = pts.astype(np.float32)
+
+    on = evaluate_sdf(jnp.asarray(pts), means, scales, q, op, cam, cfg,
+                      point_batch=256)
+    inside = np.asarray(on["inside"])
+    assert inside.mean() > 0.8
+    ray_t = np.linalg.norm(pts, axis=1)          # identity cam: t = |p|
+    sdf_on = np.asarray(on["sdf"])[inside]
+    rel = np.abs(sdf_on) / ray_t[inside]
+    assert np.median(rel) < 2e-3, f"median |sdf|/t on surface: {np.median(rel)}"
+
+    front = evaluate_sdf(jnp.asarray(pts * 0.8), means, scales, q, op, cam,
+                         cfg, point_batch=256)
+    fin = np.asarray(front["inside"])
+    assert (np.asarray(front["sdf"])[fin] > 0).mean() > 0.95
+
+    behind = evaluate_sdf(jnp.asarray(pts * 1.2), means, scales, q, op, cam,
+                          cfg, point_batch=256)
+    bin_ = np.asarray(behind["inside"])
+    assert (np.asarray(behind["sdf"])[bin_] < 0).mean() > 0.95

@@ -153,3 +153,68 @@ def test_viewer_loopback_during_training(tmp_path):
     assert results["verify"] == root
     img = np.frombuffer(results["img"], np.uint8)
     assert img.shape[0] == 32 * 32 * 3
+
+
+def test_native_client_loopback(tmp_path):
+    """The C++ sibr_client speaks the wire protocol end-to-end: camera
+    matrices decode to a valid orbit pose and the returned frame lands in
+    its PPM output."""
+    import subprocess
+
+    from gsjax.viewer.client import client_path
+
+    exe = client_path()
+    if exe is None:
+        pytest.skip("no C++ toolchain")
+
+    port = _free_port()
+    gui = NetworkGUI("127.0.0.1", port)
+    w, h = 40, 24
+    state = {}
+
+    def server():
+        for _ in range(400):
+            gui.try_connect()
+            if gui.conn is not None:
+                break
+            time.sleep(0.05)
+        try:
+            for _ in range(2):
+                cam_d, do_training, keep_alive, scaling = gui.receive()
+                cam = Camera.from_matrices(
+                    cam_d["width"], cam_d["height"], cam_d["fovx"],
+                    cam_d["fovy"], cam_d["world_view"], cam_d["full_proj"])
+                state.setdefault("campos", []).append(np.asarray(cam.campos))
+                state["scaling"] = scaling
+                wv = np.asarray(cam.world_view)
+                state.setdefault("ortho", []).append(
+                    np.abs(wv[:3, :3] @ wv[:3, :3].T - np.eye(3)).max())
+                img = np.zeros((h, w, 3), np.uint8)
+                img[..., 0] = np.arange(w, dtype=np.uint8)[None, :]
+                gui.send(img, "golden")
+        except Exception as e:
+            state["err"] = repr(e)
+        finally:
+            gui.disconnect()
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    out_prefix = str(tmp_path / "fr")
+    rc = subprocess.call([exe, "127.0.0.1", str(port), str(w), str(h),
+                          "2", out_prefix, "0.8", "3.5"], timeout=60)
+    t.join(30)
+    assert rc == 0
+    assert "err" not in state, state["err"]
+    assert state["scaling"] == pytest.approx(0.8)
+    # orbit poses: radius 3.5 from origin, orthonormal rotations
+    for p in state["campos"]:
+        np.testing.assert_allclose(np.linalg.norm(p), 3.5, atol=0.5)
+    assert max(state["ortho"]) < 1e-5
+    with open(out_prefix + "_001.ppm", "rb") as f:
+        assert f.readline().strip() == b"P6"
+        assert f.readline().split() == [str(w).encode(), str(h).encode()]
+        f.readline()
+        data = np.frombuffer(f.read(), np.uint8).reshape(h, w, 3)
+    np.testing.assert_array_equal(data[..., 0],
+                                  np.tile(np.arange(w, dtype=np.uint8), (h, 1)))
+    assert data[..., 1:].max() == 0
