@@ -11,6 +11,7 @@ ICP)."""
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 
@@ -154,7 +155,42 @@ def f1_score(source, target, tau, crop: CropVolume | None = None,
     precision = float((d1[:, 0] < tau).mean()) * 100
     recall = float((d2[:, 0] < tau).mean()) * 100
     f = 2 * precision * recall / (precision + recall) if precision + recall > 0 else 0.0
-    return dict(precision=precision, recall=recall, f1=f)
+    return dict(precision=precision, recall=recall, f1=f), d1[:, 0], d2[:, 0]
+
+
+def precision_recall_curves(d1, d2, tau, n_bins=100):
+    """Cumulative precision/recall over thresholds [0, 3*tau] (the
+    reference's EvaluateHisto histogram protocol, evaluation.py:9-57).
+    Returns (thresholds, precision%, recall%, f1%)."""
+    th = np.linspace(0, 3 * tau, n_bins + 1)[1:]
+    prec = (d1[:, None] < th[None, :]).mean(axis=0) * 100
+    rec = (d2[:, None] < th[None, :]).mean(axis=0) * 100
+    denom = np.maximum(prec + rec, 1e-9)
+    f1 = 2 * prec * rec / denom
+    return th, prec, rec, f1
+
+
+def plot_precision_recall(d1, d2, tau, scene_name, out_dir):
+    """Write the reference's F-score curve figure (plot.py:30-110):
+    precision/recall/F1 vs threshold with the scene tau marked."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    th, prec, rec, f1 = precision_recall_curves(d1, d2, tau)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    ax.plot(th, prec, label="precision")
+    ax.plot(th, rec, label="recall")
+    ax.plot(th, f1, label="F1")
+    ax.axvline(tau, ls="--", c="gray", label=f"tau={tau:g}")
+    ax.set_xlabel("distance threshold [scene units]")
+    ax.set_ylabel("%")
+    ax.set_title(f"{scene_name}: precision/recall vs threshold")
+    ax.legend()
+    path = os.path.join(out_dir, f"{scene_name}_prf_curve.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
 
 
 def run_tnt_evaluation(recon_vertices, recon_faces, dataset_dir, scene_name,
@@ -190,10 +226,11 @@ def run_tnt_evaluation(recon_vertices, recon_faces, dataset_dir, scene_name,
     refine = icp_point2point(pts_init, gt_points, max_dist=tau * 10)
     total = refine @ init
 
-    res = f1_score(pts, gt_points, tau, crop, total)
+    res, d1, d2 = f1_score(pts, gt_points, tau, crop, total)
     res["tau"] = tau
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "results.json"), "w") as f:
             json.dump(res, f, indent=2)
+        plot_precision_recall(d1, d2, tau, scene_name, out_dir)
     return res

@@ -12,6 +12,15 @@ Launch one process per host with identical flags plus:
     --dist_process_id <this process's rank>
 or rely on the TPU environment auto-detection (no flags on Cloud TPU VMs:
 `jax.distributed.initialize()` discovers everything).
+
+Input pipeline across hosts: gsjax shards TILES, not views — every host
+trains on the same view each step, so the "data pipeline" contract is that
+all processes draw identical view sequences. That holds because train.py
+seeds the python RNG identically (`--seed`) and the Trainer consumes it in
+lockstep (view + neighbour choice per step); each host reads images from
+its own copy/mount of the dataset. Densification is replicated math from a
+shared jax PRNG key, so the model state never needs cross-host reshuffling
+(the model is replicated; only tile work is partitioned).
 """
 
 from __future__ import annotations

@@ -398,6 +398,12 @@ def run_training(lp, op, pp, args):
         appearance=APPEARANCE_KINDS[lp.use_decoupled_appearance])
 
     trainer.random_background = bool(getattr(op, "random_background", False))
+    cap0 = int(getattr(args, "pair_capacity_init", 0) or 0)
+    if cap0 > 0:
+        # pre-size so capacity-bump recompiles (minutes each for the
+        # reg-phase program) never hit mid-training; memory is cheap
+        # relative (16 floats per slot)
+        trainer.pair_capacity = max(trainer.pair_capacity, next_pow2(cap0))
     n_req = int(getattr(args, "n_devices", 1) or 1)
     if n_req != 1:
         from gsjax.parallel import make_mesh

@@ -124,3 +124,15 @@ def l1_appearance_gs(image, gt, exposure):
 def l1_appearance_pgsr(image, gt, embedding):
     """PGSR 2-param: exp(a)*img + b (loss_utils.py:121-123)."""
     return l1_loss(jnp.exp(embedding[0]) * image + embedding[1], gt)
+
+
+def img_grad_weight(img):
+    """Normalised central-difference edge magnitude of an [H,W,3] image,
+    padded with 1.0 at the border (loss_utils.py:75-87 get_img_grad_weight —
+    the PGSR edge-aware weighting hook; parsed-but-unused in the reference
+    training loop, kept for API parity)."""
+    gx = jnp.mean(jnp.abs(img[1:-1, 2:] - img[1:-1, :-2]), axis=-1)
+    gy = jnp.mean(jnp.abs(img[:-2, 1:-1] - img[2:, 1:-1]), axis=-1)
+    g = jnp.maximum(gx, gy)
+    g = (g - g.min()) / jnp.maximum(g.max() - g.min(), 1e-12)
+    return jnp.pad(g, 1, constant_values=1.0)

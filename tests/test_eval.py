@@ -41,11 +41,18 @@ def test_icp_refines_small_offset():
     assert np.abs(moved - pts).mean() < 0.005
 
 
-def test_f1_identical_clouds():
+def test_f1_identical_clouds(tmp_path):
     rng = np.random.default_rng(3)
     pts = rng.normal(0, 1, (5000, 3))
-    res = f1_score(pts, pts, tau=0.05)
+    res, d1, d2 = f1_score(pts, pts, tau=0.05)
     assert res["f1"] > 99.0
+
+    from gsjax.eval.tnt import plot_precision_recall, precision_recall_curves
+    th, prec, rec, f1c = precision_recall_curves(d1, d2, 0.05)
+    assert f1c[-1] > 99.0 and np.all(np.diff(prec) >= 0)
+    path = plot_precision_recall(d1, d2, 0.05, "unittest", str(tmp_path))
+    import os
+    assert os.path.getsize(path) > 1000
 
 
 def test_voxel_downsample():

@@ -25,6 +25,10 @@ def main():
     parser.add_argument("--profile_iter", type=int, default=0,
                         help="jax.profiler-trace 5 steps starting here "
                              "(writes <model_path>/profile)")
+    parser.add_argument("--pair_capacity_init", type=int, default=0,
+                        help="pre-size the pair buffer (pow2-rounded) so "
+                             "densification growth doesn't trigger "
+                             "mid-training recompiles; 0 = grow on demand")
     parser.add_argument("--n_devices", type=int, default=1,
                         help="shard tiles over this many devices "
                              "(1 = single-device step, <=0 = all devices)")
