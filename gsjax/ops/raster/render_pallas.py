@@ -177,7 +177,7 @@ class _Chunk:
 
     __slots__ = ("cols", "dx", "dy", "power", "t_val", "o")
 
-    def __init__(self, buf, c, px, py, eye, basis=None):
+    def __init__(self, buf, c, px, py, eye, basis=None, need_dxdy=False):
         o = pl.multiple_of(c * G, G)
         self.o = o
         cols = _dot(buf[:, pl.ds(o, G)], eye)          # [G, 16]
@@ -206,7 +206,11 @@ class _Chunk:
                 a = a - ah.astype(_f32)
             self.power = out[:G]
             self.t_val = out[G:]
-            self.dx = self.dy = None
+            if need_dxdy:   # backward: conic/position grads need them
+                self.dx = cols[:, 0:1] - px
+                self.dy = cols[:, 1:2] - py
+            else:
+                self.dx = self.dy = None
         else:
             dx = cols[:, 0:1] - px                      # [G, P]
             dy = cols[:, 1:2] - py
@@ -544,6 +548,7 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
     px, py = _pixel_rows(tileids_ref[t], tiles_x, cfg)
     eye = _eye16()
     tri = _tri_strict()
+    basis = _quad_basis(tileids_ref[t], tiles_x, cfg) if _QUAD_MXU else None
     start = starts_ref[t]
 
     def d_copy(c, slot):
@@ -585,7 +590,7 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
         nc_chunks = (max_contrib + G - 1) // G
 
         def d_body(c, acc_d):
-            ch = _Chunk(buf, c, px, py, eye)
+            ch = _Chunk(buf, c, px, py, eye, basis)
             rel = _rel_ids(c)
             a, _, passes = ch.alpha(cfg, rel, count)
             applied = passes & (rel < n_contrib)
@@ -611,7 +616,7 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
 
     def body(carry):
         c, t_row, pq_carry = carry
-        ch = _Chunk(buf, c, px, py, eye)
+        ch = _Chunk(buf, c, px, py, eye, basis, need_dxdy=True)
         rel = _rel_ids(c)
         a, a_raw, passes = ch.alpha(cfg, rel, count)
         one_m = 1.0 - a
