@@ -307,4 +307,4 @@ def extract_mesh_tsdf(render_fn, views, voxel_size=0.002, depth_trunc=8.0,
         depths, colors, views, voxel_size, depth_trunc, verbose=verbose)
     verts, faces = tsdf_to_mesh(tsdf, weight, origin, vs)
     post = post_process_mesh(verts, faces, cluster_to_keep)
-    return dict(raw=(verts, faces), post=post)
+    return dict(raw=(verts, faces), post=post, depths=depths)

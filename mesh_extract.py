@@ -22,6 +22,10 @@ def main():
     parser.add_argument("--iteration", default=-1, type=int)
     parser.add_argument("--num_cluster", default=1, type=int)
     parser.add_argument("--voxel_size", default=0.002, type=float)
+    parser.add_argument("--cull", action="store_true",
+                        help="drop faces unobserved by any training camera "
+                             "(frustum + rendered-depth occlusion; the "
+                             "eval_tnt/cull_mesh.py protocol)")
     parser.add_argument("--quiet", action="store_true")
     args = get_combined_args(parser)
 
@@ -52,6 +56,10 @@ def main():
     meshes = extract_mesh_tsdf(render_fn, scene.train_views,
                                voxel_size=args.voxel_size,
                                cluster_to_keep=args.num_cluster)
+    if getattr(args, "cull", False):
+        from gsjax.mesh.cluster import cull_mesh
+        meshes["post"] = cull_mesh(*meshes["post"], scene.train_views,
+                                   depths=meshes["depths"])
     for name, (v, f) in [("recon", meshes["raw"]), ("recon_post", meshes["post"])]:
         write_ply(os.path.join(args.model_path, f"{name}.ply"),
                   dict(x=v[:, 0].astype(np.float32), y=v[:, 1].astype(np.float32),

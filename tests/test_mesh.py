@@ -119,3 +119,29 @@ def test_extract_mesh_tetrahedra_runs():
                                      n_binary_steps=2, verbose=False)
     v, f = meshes["raw"]
     assert np.isfinite(v).all()
+
+
+def test_cull_mesh_frustum_and_depth():
+    """Faces behind the camera (or occluded beyond the rendered depth) are
+    dropped; survivors keep a compact vertex table."""
+    import numpy as np
+
+    from gsjax.mesh.cluster import cull_mesh
+    from gsjax.ops.raster.camera import Camera
+
+    cam = Camera.create(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                        0.9, 0.9, 32, 32)
+    # two triangles: one ahead of the camera (z=+2), one behind (z=-2)
+    verts = np.array([
+        [0.0, 0.0, 2.0], [0.1, 0.0, 2.0], [0.0, 0.1, 2.0],
+        [0.0, 0.0, -2.0], [0.1, 0.0, -2.0], [0.0, 0.1, -2.0],
+    ], np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]])
+    v2, f2 = cull_mesh(verts, faces, [cam])
+    assert len(f2) == 1 and len(v2) == 3
+    np.testing.assert_allclose(v2, verts[:3])
+
+    # with an occluding depth map at z=1, the z=2 triangle is culled too
+    depth = np.full((32, 32), 1.0, np.float32)
+    v3, f3 = cull_mesh(verts, faces, [cam], depths=[depth])
+    assert len(f3) == 0
