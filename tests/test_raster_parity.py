@@ -59,3 +59,32 @@ def test_white_background():
     out, ref = run_both(bg=(1, 1, 1), seed=5)
     np.testing.assert_allclose(np.asarray(out["render"]), ref["render"],
                                atol=5e-4, rtol=1e-3)
+
+
+def test_spherical_gaussian_parity():
+    """SG colour lobes (sg_degree > 0) match the float64 oracle — the
+    mip360 recipe path (--sg_degree 7, scripts/mip360.sh)."""
+    n, sg_deg = 80, 3
+    means, scales, q, op, shs = random_gaussians(n, seed=9)
+    rng = np.random.default_rng(10)
+    sg_axis = rng.normal(0, 1, (n, sg_deg, 3)).astype(np.float32)
+    # render() takes post-activation params: unit axes (gm.get_sg_axis) and
+    # post-softplus sharpness
+    sg_axis /= np.linalg.norm(sg_axis, axis=2, keepdims=True)
+    sg_sharpness = rng.uniform(1.0, 6.0, (n, sg_deg)).astype(np.float32)
+    sg_color = (0.3 * rng.normal(0, 1, (n, sg_deg, 3))).astype(np.float32)
+    cam = look_at_camera(width=96, height=64)
+    cfg = RasterConfig(tile=32, chunk=32, tile_batch=2, pair_capacity=1 << 13,
+                       max_per_tile=256, sh_degree=2, sg_degree=sg_deg,
+                       require_depth=False)
+    out = render(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+                 jnp.asarray(op), jnp.asarray(shs), cam, cfg, jnp.zeros(3),
+                 sg_axis=jnp.asarray(sg_axis),
+                 sg_sharpness=jnp.asarray(sg_sharpness),
+                 sg_color=jnp.asarray(sg_color))
+    prep = preprocess_np(means, scales, q, op, shs, cam, 2,
+                         sg_axis=sg_axis, sg_sharpness=sg_sharpness,
+                         sg_color=sg_color, sg_degree=sg_deg)
+    ref = render_np(prep, cam, np.zeros(3), require_depth=False)
+    np.testing.assert_allclose(np.asarray(out["render"]), ref["render"],
+                               atol=1e-3, rtol=2e-3)
