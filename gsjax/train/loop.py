@@ -62,6 +62,11 @@ class Trainer:
     mesh: "object" = None
     dev_pair_capacity: int = 1 << 16
     random_background: bool = False
+    # device-resident gt cache: without it every step re-uploads the frame
+    # (24 MB at 1080p) host->device — expensive over thin transports and
+    # pure waste on repeats. Bounded LRU; masked/bg-composited result cached.
+    gt_cache_views: int = 64
+    _gt_cache: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
     def create(scene: SceneInfo, opt, model_path, sh_degree=3, sg_degree=0,
@@ -132,11 +137,16 @@ class Trainer:
         return jnp.ones(3) if self.white_background else jnp.zeros(3)
 
     def gt_for(self, view):
-        gt = jnp.asarray(view.image)
-        if view.mask is not None:
-            m = (view.mask > 0.5).astype(np.float32)[..., None]
-            gt = gt * m + self.bg()[None, None, :] * (1 - m)
-        return gt
+        cached = self._gt_cache.pop(view.uid, None)   # pop+reinsert = LRU
+        if cached is None:
+            cached = jnp.asarray(view.image)
+            if view.mask is not None:
+                m = (view.mask > 0.5).astype(np.float32)[..., None]
+                cached = cached * m + self.bg()[None, None, :] * (1 - m)
+            if len(self._gt_cache) >= self.gt_cache_views:
+                self._gt_cache.pop(next(iter(self._gt_cache)))
+        self._gt_cache[view.uid] = cached
+        return cached
 
     @property
     def sharded(self) -> bool:
