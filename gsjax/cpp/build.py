@@ -13,7 +13,7 @@ def build_lib(name: str, sources: list[str], extra_flags=()) -> str | None:
     so_path = os.path.join(_DIR, f"lib{name}.so")
     srcs = [os.path.join(_DIR, s) for s in sources]
     if os.path.exists(so_path) and all(
-            os.path.getmtime(so_path) >= os.path.getmtime(s) for s in srcs):
+            os.path.getmtime(so_path) > os.path.getmtime(s) for s in srcs):
         return so_path
     cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
            *extra_flags, *srcs, "-o", so_path]
@@ -27,11 +27,15 @@ def build_lib(name: str, sources: list[str], extra_flags=()) -> str | None:
 
 
 def build_exe(name: str, sources: list[str], extra_flags=()) -> str | None:
-    """Compile (once) a standalone native tool; returns its path or None."""
+    """Compile (once) a standalone native tool; returns its path or None.
+
+    Strict mtime (exe STRICTLY newer than sources): a checkout sets equal
+    mtimes, and a stale (possibly foreign-arch) artifact must lose that tie
+    and be rebuilt."""
     exe_path = os.path.join(_DIR, name)
     srcs = [os.path.join(_DIR, s) for s in sources]
     if os.path.exists(exe_path) and all(
-            os.path.getmtime(exe_path) >= os.path.getmtime(s) for s in srcs):
+            os.path.getmtime(exe_path) > os.path.getmtime(s) for s in srcs):
         return exe_path
     cmd = ["g++", "-O2", "-std=c++17", *extra_flags, *srcs, "-o", exe_path]
     try:

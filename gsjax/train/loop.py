@@ -64,8 +64,11 @@ class Trainer:
     random_background: bool = False
     # device-resident gt cache: without it every step re-uploads the frame
     # (24 MB at 1080p) host->device — expensive over thin transports and
-    # pure waste on repeats. Bounded LRU; masked/bg-composited result cached.
-    gt_cache_views: int = 64
+    # pure waste on repeats. LRU bounded in BYTES (a view-count bound blows
+    # up at 4K: 64 x 100 MB would OOM a 16 GB chip); keyed by image_name
+    # (train uids are renumbered 0..N-1 while test views keep their raw
+    # index, so uid collides across splits — readers.py:146).
+    gt_cache_bytes: int = 512 * 1024 * 1024
     _gt_cache: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
@@ -137,15 +140,25 @@ class Trainer:
         return jnp.ones(3) if self.white_background else jnp.zeros(3)
 
     def gt_for(self, view):
-        cached = self._gt_cache.pop(view.uid, None)   # pop+reinsert = LRU
+        """Masked/bg-composited gt frame on device, LRU-cached.
+
+        Masked scenes compose with the STATIC background (matching the
+        reference, which bakes `image * mask` at load); under
+        `random_background` the masked-out region therefore still compares
+        against the static bg, same as the reference's masked datasets.
+        """
+        key = view.image_name
+        cached = self._gt_cache.pop(key, None)        # pop+reinsert = LRU
         if cached is None:
             cached = jnp.asarray(view.image)
             if view.mask is not None:
                 m = (view.mask > 0.5).astype(np.float32)[..., None]
                 cached = cached * m + self.bg()[None, None, :] * (1 - m)
-            if len(self._gt_cache) >= self.gt_cache_views:
+            frame_bytes = int(np.prod(cached.shape)) * 4
+            max_n = max(1, self.gt_cache_bytes // max(frame_bytes, 1))
+            while len(self._gt_cache) >= max_n:
                 self._gt_cache.pop(next(iter(self._gt_cache)))
-        self._gt_cache[view.uid] = cached
+        self._gt_cache[key] = cached
         return cached
 
     @property
@@ -178,11 +191,14 @@ class Trainer:
             if npairs > 0.85 * self.dev_pair_capacity:
                 self.dev_pair_capacity = next_pow2(int(npairs * 3.0))
                 recompiled = True
-        else:
-            npairs = int(metrics["num_pairs"])
-            if npairs > 0.85 * self.pair_capacity:
-                self.pair_capacity = next_pow2(int(npairs * 3.0))
-                recompiled = True
+        # the GLOBAL watermark always tracks pair_capacity: even when the
+        # train step uses per-device band buffers, full-frame renders
+        # (eval, viewer, mesh extraction) bin with pair_capacity and would
+        # silently truncate once the model outgrows it
+        npairs = int(metrics["num_pairs"])
+        if npairs > 0.85 * self.pair_capacity:
+            self.pair_capacity = next_pow2(int(npairs * 3.0))
+            recompiled = True
         mtc = int(metrics["max_tile_count"])
         if mtc > 0.9 * self.max_per_tile:
             self.max_per_tile = next_pow2(int(mtc * 2.5))
@@ -255,6 +271,12 @@ class Trainer:
                 break
             self.monitor_capacity(metrics)   # grows the overflowed bucket
             cfg = self.raster_cfg(require_depth=reg_on)
+        else:
+            # 4 bumps is a >40x capacity jump; if that still overflows,
+            # surface it — this step trained on truncated pairs
+            print(f"WARNING: iteration {it} still overflowed after retries "
+                  f"(pairs {int(metrics['num_pairs'])} > cap "
+                  f"{self.pair_capacity}); trained truncated", flush=True)
         self.params, self.aux, self.adam = p2, aux2, adam2
 
         # debug snapshot on blow-up (equivalent of the reference's
@@ -387,19 +409,25 @@ def serve_viewer(gui, trainer: Trainer, source_path: str, final_iter: int):
 
 def run_training(lp, op, pp, args):
     """Full CLI training entry (mirrors train.py:__main__ + training())."""
-    from gsjax.parallel.multihost import maybe_init_distributed
+    from gsjax.parallel.multihost import is_primary, maybe_init_distributed
     maybe_init_distributed(args)   # must precede any other JAX usage
+    # in a multi-process run every host executes the same (replicated-model)
+    # schedule, but only host 0 writes artifacts — concurrent writes to a
+    # shared model_path would corrupt checkpoints/logs
+    primary = is_primary()
     scene = load_scene(lp.source_path, lp.images, lp.masks or None,
                        lp.eval, lp.resolution, lp.white_background)
     build_nearest_view_graph(scene.train_views, lp.multi_view_max_angle,
                              lp.multi_view_min_dis, lp.multi_view_max_dis,
                              lp.multi_view_num)
     os.makedirs(lp.model_path, exist_ok=True)
-    with open(os.path.join(lp.model_path, "multi_view.json"), "w") as f:
-        for v in scene.train_views:
-            f.write(json.dumps({"ref_name": v.image_name,
-                                "nearest_name": [scene.train_views[i].image_name
-                                                 for i in v.nearest_ids]}) + "\n")
+    if primary:
+        with open(os.path.join(lp.model_path, "multi_view.json"), "w") as f:
+            for v in scene.train_views:
+                f.write(json.dumps(
+                    {"ref_name": v.image_name,
+                     "nearest_name": [scene.train_views[i].image_name
+                                      for i in v.nearest_ids]}) + "\n")
 
     trainer = Trainer.create(
         scene, op, lp.model_path, sh_degree=lp.sh_degree, sg_degree=lp.sg_degree,
@@ -439,11 +467,12 @@ def run_training(lp, op, pp, args):
     # TensorBoard scalars, mirroring training_report (train.py:296-379);
     # soft dependency so headless/minimal installs still train.
     tb = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
-        tb = SummaryWriter(lp.model_path)
-    except Exception:
-        pass
+    if primary:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb = SummaryWriter(lp.model_path)
+        except Exception:
+            pass
     profile_iter = int(getattr(args, "profile_iter", 0) or 0)
 
     # live-viewer server (SIBR remote protocol), reference train.py:93-120
@@ -458,7 +487,8 @@ def run_training(lp, op, pp, args):
     ema = 0.0
     t0 = time.time()
     profiling = False
-    while trainer.iteration < op.iterations:
+    try:
+      while trainer.iteration < op.iterations:
         # jax.profiler trace of 5 regular loop iterations (SURVEY section 5:
         # tracing — replaces the reference's cuda-event iter timing). The
         # profiled steps ARE the loop's steps, so test/save/ckpt bookkeeping
@@ -491,7 +521,7 @@ def run_training(lp, op, pp, args):
                               int(jnp.sum(trainer.aux.alive)), it)
                 tb.add_scalar("iter_time", dt / 100.0 * 1000.0, it)
             t0 = time.time()
-        if it in test_iters and scene.test_views:
+        if it in test_iters and scene.test_views and primary:
             psnr = trainer.evaluate(scene.test_views)
             print(f"[{it}] test PSNR {psnr:.3f}", flush=True)
             with open(os.path.join(lp.model_path, f"chkpnt{it}.txt"), "w") as f:
@@ -502,12 +532,15 @@ def run_training(lp, op, pp, args):
                     np.asarray(trainer.aux.alive)]
                 if op_np.size:
                     tb.add_histogram("scene/opacity_histogram", op_np, it)
-        if it in save_iters:
+        if it in save_iters and primary:
             trainer.save_model()
-        if it in ckpt_iters:
+        if it in ckpt_iters and primary:
             trainer.save_ckpt()
-    if profiling:
-        jax.profiler.stop_trace()
-    if tb is not None:
-        tb.close()
+    finally:
+        # a step raising mid-profile (e.g. the non-finite-loss snapshot
+        # path) must not leave the trace open/unflushed
+        if profiling:
+            jax.profiler.stop_trace()
+        if tb is not None:
+            tb.close()
     return trainer

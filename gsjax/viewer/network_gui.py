@@ -54,7 +54,12 @@ class NetworkGUI:
         msg = self._read()
         width, height = msg["resolution_x"], msg["resolution_y"]
         if width == 0 or height == 0:
-            return None, None, None, None
+            # no frame requested (render widget hidden) — the training/
+            # keep-alive flags still apply, else a hidden widget would pin
+            # the trainer inside the serve loop (reference network_gui.py
+            # returns them unconditionally)
+            return (None, bool(msg["train"]), bool(msg["keep_alive"]),
+                    float(msg["scaling_modifier"]))
         wv = np.array(msg["view_matrix"], np.float32).reshape(4, 4)
         wv[:, 1] *= -1
         wv[:, 2] *= -1

@@ -235,21 +235,24 @@ def test_overflow_retry_matches_presized(tmp_path):
 
 
 def test_gt_cache_lru():
-    """gt_for caches device frames per view and evicts least-recent."""
+    """gt_for caches device frames (keyed by image_name — uids collide
+    across train/test splits) under a byte budget, evicting least-recent."""
     import types
 
     t = Trainer.__new__(Trainer)
     t.white_background = False
     t._gt_cache = {}
-    t.gt_cache_views = 2
     img = np.random.default_rng(0).uniform(0, 1, (4, 6, 3)).astype(np.float32)
-    views = [types.SimpleNamespace(uid=i, image=img + i, mask=None)
-             for i in range(3)]
+    t.gt_cache_bytes = 2 * img.size * 4          # room for exactly 2 frames
+    views = [types.SimpleNamespace(uid=0, image=img + i, mask=None,
+                                   image_name=f"im{i}")
+             for i in range(3)]                  # same uid on purpose
     a0 = t.gt_for(views[0])
     assert t.gt_for(views[0]) is a0              # hit
-    t.gt_for(views[1])
-    t.gt_for(views[2])                           # evicts uid 0
-    assert 0 not in t._gt_cache and set(t._gt_cache) == {1, 2}
+    a1 = t.gt_for(views[1])
+    assert a1 is not a0                          # uid collision must miss
+    t.gt_for(views[2])                           # evicts im0
+    assert set(t._gt_cache) == {"im1", "im2"}
     a0b = t.gt_for(views[0])                     # re-uploaded, fresh buffer
     assert a0b is not a0
     np.testing.assert_allclose(np.asarray(a0b), np.asarray(a0))
