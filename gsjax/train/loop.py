@@ -70,6 +70,8 @@ class Trainer:
     # index, so uid collides across splits — readers.py:146).
     gt_cache_bytes: int = 512 * 1024 * 1024
     _gt_cache: dict = dataclasses.field(default_factory=dict)
+    debug: bool = False   # write gt/render/normal/depth mosaics (PatchMatch
+    #                       debug dumps, loss_utils.py:201-221)
 
     @staticmethod
     def create(scene: SceneInfo, opt, model_path, sh_degree=3, sg_degree=0,
@@ -279,6 +281,9 @@ class Trainer:
                   f"{self.pair_capacity}); trained truncated", flush=True)
         self.params, self.aux, self.adam = p2, aux2, adam2
 
+        if self.debug and reg_on and it % 200 == 0:
+            self._dump_debug_mosaic(view, it)
+
         # debug snapshot on blow-up (equivalent of the reference's
         # snapshot_fw.dump on CUDA exception,
         # diff_gaussian_rasterization/__init__.py:101-107): dump the exact
@@ -356,6 +361,27 @@ class Trainer:
                       sg_axis=gm.get_sg_axis(self.params),
                       sg_sharpness=gm.get_sg_sharpness(self.params),
                       sg_color=self.params.sg_color, alive=self.aux.alive)
+
+    def _dump_debug_mosaic(self, view, it):
+        """2x2 gt | render / normal | depth mosaic every 200 reg iterations
+        (the reference's PatchMatch debug dumps, loss_utils.py:201-221,
+        minus the warp-weight pane which lives inside the jitted step)."""
+        from PIL import Image
+
+        from gsjax.utils.trajectories import apply_depth_colormap
+
+        out = self.render_view(view, require_depth=True)
+        gt = np.clip(np.asarray(self.gt_for(view)), 0, 1)
+        img = np.clip(np.asarray(out["render"]), 0, 1)
+        nrm = np.clip((np.asarray(out["normal"]) + 1) * 0.5, 0, 1)
+        dep = apply_depth_colormap(  # -> uint8; back to [0,1] for the concat
+            np.asarray(out["median_depth"])).astype(np.float32) / 255.0
+        mosaic = np.concatenate([np.concatenate([gt, img], axis=1),
+                                 np.concatenate([nrm, dep], axis=1)], axis=0)
+        dbg = os.path.join(self.model_path, "debug")
+        os.makedirs(dbg, exist_ok=True)
+        Image.fromarray((mosaic * 255).astype(np.uint8)).save(
+            os.path.join(dbg, f"{it:05d}_{view.image_name}.jpg"))
 
     def evaluate(self, views, max_views=None):
         psnrs = []
@@ -436,6 +462,7 @@ def run_training(lp, op, pp, args):
         appearance=APPEARANCE_KINDS[lp.use_decoupled_appearance])
 
     trainer.random_background = bool(getattr(op, "random_background", False))
+    trainer.debug = bool(getattr(pp, "debug", False))
     cap0 = int(getattr(args, "pair_capacity_init", 0) or 0)
     if cap0 > 0:
         # pre-size so capacity-bump recompiles (minutes each for the
@@ -532,6 +559,22 @@ def run_training(lp, op, pp, args):
                     np.asarray(trainer.aux.alive)]
                 if op_np.size:
                     tb.add_histogram("scene/opacity_histogram", op_np, it)
+                # rendered/gt/depth images for the first few held-out views
+                # (training_report, train.py:322-360)
+                from gsjax.utils.trajectories import apply_depth_colormap
+                for v in scene.test_views[:5]:
+                    out = trainer.render_view(v, require_depth=True)
+                    img = np.clip(np.asarray(out["render"]), 0, 1)
+                    tb.add_image(f"{v.image_name}/render", img, it,
+                                 dataformats="HWC")
+                    tb.add_image(f"{v.image_name}/depth",
+                                 apply_depth_colormap(
+                                     np.asarray(out["median_depth"])),
+                                 it, dataformats="HWC")
+                    if it == min(test_iters):
+                        tb.add_image(f"{v.image_name}/ground_truth",
+                                     np.asarray(trainer.gt_for(v)), it,
+                                     dataformats="HWC")
         if it in save_iters and primary:
             trainer.save_model()
         if it in ckpt_iters and primary:

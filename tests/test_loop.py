@@ -256,3 +256,21 @@ def test_gt_cache_lru():
     a0b = t.gt_for(views[0])                     # re-uploaded, fresh buffer
     assert a0b is not a0
     np.testing.assert_allclose(np.asarray(a0b), np.asarray(a0))
+
+
+@pytest.mark.slow
+def test_debug_mosaic_written(tmp_path):
+    """--debug writes the PatchMatch-style gt/render/normal/depth mosaic."""
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    write_synthetic_colmap(root, n_images=4, width=64, height=32)
+    opt = small_opt(iterations=1)
+    t = _mk_trainer(root, opt, str(tmp_path / "out"))
+    v = t.scene.train_views[0]
+    t._dump_debug_mosaic(v, 200)
+    path = os.path.join(str(tmp_path / "out"), "debug",
+                        f"00200_{v.image_name}.jpg")
+    assert os.path.exists(path)
+    from PIL import Image
+    w, h = Image.open(path).size
+    assert (w, h) == (128, 64)          # 2x2 of 64x32
