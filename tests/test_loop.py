@@ -274,3 +274,37 @@ def test_debug_mosaic_written(tmp_path):
     from PIL import Image
     w, h = Image.open(path).size
     assert (w, h) == (128, 64)          # 2x2 of 64x32
+
+
+def test_model_ply_roundtrip_with_sg(tmp_path):
+    """PLY save/load preserves spherical-gaussian lobes + filter_3D
+    (reference save_ply attrs, scene/gaussian_model.py:450-611)."""
+    import dataclasses
+
+    import jax
+
+    from gsjax.ops.knn import mean_knn_dist2
+    from tests.util import random_gaussians
+
+    means, scales, q, op, shs = random_gaussians(30, seed=4)
+    colors = np.clip(shs[:, 0] * 0.28 + 0.5, 0, 1)
+    params, aux = gm.init_from_pcd(means, colors, 48, 2, 3,
+                                   mean_knn_dist2(means))
+    key = jax.random.PRNGKey(5)
+    params = dataclasses.replace(
+        params,
+        sg_axis=jax.random.normal(key, params.sg_axis.shape),
+        sg_sharpness=jax.random.uniform(key, params.sg_sharpness.shape),
+        sg_color=jax.random.normal(key, params.sg_color.shape) * 0.2)
+    aux = dataclasses.replace(
+        aux, filter_3d=jax.random.uniform(key, aux.filter_3d.shape))
+    path = str(tmp_path / "sg.ply")
+    save_ply(path, params, aux)
+    p2, a2 = load_ply(path)
+    alive = np.asarray(aux.alive)
+    for field in ("sg_axis", "sg_sharpness", "sg_color"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(p2, field))[:30],
+            np.asarray(getattr(params, field))[alive], atol=1e-6), field
+    np.testing.assert_allclose(np.asarray(a2.filter_3d)[:30],
+                               np.asarray(aux.filter_3d)[alive], atol=1e-6)
