@@ -9,6 +9,8 @@ smooth loop of look-at cameras. Pure numpy — cameras are host-side objects
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from gsjax.ops.raster.camera import Camera
@@ -98,3 +100,48 @@ def apply_depth_colormap(depth: np.ndarray, near=None, far=None) -> np.ndarray:
     img = np.stack([r, g, b], -1)
     img[~valid] = 0
     return (img * 255).astype(np.uint8)
+
+
+def save_img_u8(img, path):
+    """[H,W,3] float [0,1] -> 8-bit PNG/JPG (render_utils.py:276-279)."""
+    from PIL import Image
+
+    Image.fromarray(
+        (np.clip(np.asarray(img), 0, 1) * 255 + 0.5).astype(np.uint8)
+    ).save(path)
+
+
+def save_img_f32(depthmap, path):
+    """[H,W] float32 -> TIFF (render_utils.py:282-285 saves .tiff via PIL)."""
+    from PIL import Image
+
+    Image.fromarray(np.asarray(depthmap, np.float32), mode="F").save(path)
+
+
+def create_videos(base_dir, input_dir, out_name, num_frames=480, fps=30):
+    """Stitch rendered frame trees into .mp4s (render_utils.py:210-273).
+
+    `input_dir` is a render-set directory as written by render.py
+    (subdirs `renders/`, `depth/`, `gt/` holding %05d.png frames); one
+    <base_dir>/<out_name>_<kind>.mp4 is written per present kind with cv2
+    (no ffmpeg binary needed)."""
+    import glob
+
+    import cv2
+
+    written = []
+    for kind in ("renders", "depth", "gt"):
+        frames = sorted(glob.glob(os.path.join(input_dir, kind, "*.png")))
+        if not frames:
+            continue
+        frames = frames[:num_frames]
+        first = cv2.imread(frames[0])
+        h, w = first.shape[:2]
+        path = os.path.join(base_dir, f"{out_name}_{kind}.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (w, h))
+        for f in frames:
+            vw.write(cv2.imread(f))
+        vw.release()
+        written.append(path)
+    return written

@@ -60,6 +60,9 @@ def main():
                              "(render_utils.py generate_path equivalent)")
     parser.add_argument("--save_depth", action="store_true",
                         help="write colormapped median-depth PNGs too")
+    parser.add_argument("--video", action="store_true",
+                        help="stitch the flythrough frames into .mp4s "
+                             "(render_utils.py create_videos equivalent)")
     args = get_combined_args(parser)
 
     iteration = args.iteration
@@ -106,6 +109,13 @@ def main():
         render_set(args.model_path, "traj", iteration,
                    [_TrajView(c) for c in cams], render_fn,
                    save_depth=args.save_depth)
+        if args.video:
+            from gsjax.utils.trajectories import create_videos
+            out = create_videos(
+                args.model_path,
+                os.path.join(args.model_path, "traj", f"ours_{iteration}"),
+                f"traj_{iteration}", num_frames=args.traj_frames)
+            print("videos:", ", ".join(out))
 
 
 if __name__ == "__main__":

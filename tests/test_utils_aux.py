@@ -114,3 +114,29 @@ def test_safe_state_stamps_and_restores(capsys):
     safe_state(silent=True, seed=0)
     sys.stdout = old
     assert np.random.rand() == a
+
+
+def test_create_videos_and_img_savers(tmp_path):
+    import numpy as np
+
+    from gsjax.utils.trajectories import create_videos, save_img_f32, save_img_u8
+
+    rset = tmp_path / "traj" / "ours_1"
+    (rset / "renders").mkdir(parents=True)
+    (rset / "depth").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        save_img_u8(rng.uniform(0, 1, (32, 48, 3)),
+                    str(rset / "renders" / f"{i:05d}.png"))
+        save_img_u8(rng.uniform(0, 1, (32, 48, 3)),
+                    str(rset / "depth" / f"{i:05d}.png"))
+    out = create_videos(str(tmp_path), str(rset), "traj_1", num_frames=6)
+    assert len(out) == 2
+    for p in out:
+        assert os.path.getsize(p) > 500
+
+    f32p = str(tmp_path / "d.tiff")
+    save_img_f32(rng.uniform(0, 5, (16, 16)).astype(np.float32), f32p)
+    from PIL import Image
+    back = np.asarray(Image.open(f32p))
+    assert back.dtype == np.float32 and back.shape == (16, 16)
