@@ -22,6 +22,25 @@ BASELINE_RAYS_PER_S = 30e6
 
 
 def main():
+    # Watchdog: when the axon TPU worker is wedged, jax.devices() blocks
+    # FOREVER inside the PJRT client (observed for hours on 2026-08-17;
+    # claim_timeout_s doesn't help). A hung bench is worse than a failed
+    # one — abort hard with a diagnostic if the first device op doesn't
+    # complete in time. Cancelled right after warmup.
+    import threading
+
+    timeout_s = float(os.environ.get("GSJAX_BENCH_TIMEOUT", 900))
+    watchdog = threading.Timer(timeout_s, lambda: (
+        print(json.dumps({"metric": "raster_fwd_bwd_rays_per_s_1080p",
+                          "value": 0.0, "unit": "rays/s/chip",
+                          "vs_baseline": 0.0,
+                          "error": f"device init/warmup exceeded "
+                                   f"{timeout_s:.0f}s (TPU wedged?)"}),
+              flush=True),
+        os._exit(3)))
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
     import jax.numpy as jnp
 
@@ -71,6 +90,7 @@ def main():
     t0 = time.perf_counter()
     loss, grads = fwd_bwd(*args)
     jax.block_until_ready((loss, grads))
+    watchdog.cancel()
     print(f"warmup {time.perf_counter() - t0:.1f}s loss={float(loss):.4f}",
           file=sys.stderr)
 
