@@ -197,7 +197,7 @@ def read_blender_scene(path, white_background=False, eval_split=True,
     else:
         # random init inside the synthetic bounds (dataset_readers.py:300-310)
         rng = np.random.default_rng(0)
-        n = 100_000
+        n = int(os.environ.get("GSJAX_BLENDER_INIT_POINTS", 100_000))
         pts = (rng.random((n, 3)).astype(np.float32) * 2.6 - 1.3)
         colors = rng.random((n, 3)).astype(np.float32)
         try:

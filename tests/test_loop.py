@@ -308,3 +308,52 @@ def test_model_ply_roundtrip_with_sg(tmp_path):
             np.asarray(getattr(params, field))[alive], atol=1e-6), field
     np.testing.assert_allclose(np.asarray(a2.filter_3d)[:30],
                                np.asarray(aux.filter_3d)[alive], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_blender_end_to_end_training(tmp_path, monkeypatch):
+    """A Blender transforms_train.json dataset trains through the full CLI
+    driver (white-background compositing path incl. opacity reset at
+    densify_from for white_background, train.py:247-249)."""
+    import json as _json
+
+    from PIL import Image
+
+    # the reference inits synthetic scenes with 100k random points
+    # (dataset_readers.py:300-310) — far too heavy for a CPU unit test
+    monkeypatch.setenv("GSJAX_BLENDER_INIT_POINTS", "400")
+
+    root = str(tmp_path / "blender")
+    os.makedirs(os.path.join(root, "train"))
+    rng = np.random.default_rng(1)
+    frames = []
+    for i in range(4):
+        ang = 0.25 * i
+        c2w = np.eye(4)
+        c2w[0, 0] = c2w[2, 2] = np.cos(ang)
+        c2w[0, 2] = np.sin(ang)
+        c2w[2, 0] = -np.sin(ang)
+        c2w[:3, 3] = [3.2 * np.sin(ang), 0.0, 3.2 * np.cos(ang)]
+        frames.append({"file_path": f"train/r_{i}",
+                       "transform_matrix": c2w.tolist()})
+        img = (rng.random((32, 48, 4)) * 255).astype(np.uint8)
+        img[..., 3] = 255
+        Image.fromarray(img, "RGBA").save(
+            os.path.join(root, "train", f"r_{i}.png"))
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        _json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+
+    from gsjax.config import ModelParams
+    lp = Namespace(**ModelParams._defaults())
+    lp.source_path = root
+    lp.model_path = str(tmp_path / "out")
+    lp.eval = False
+    lp.sh_degree = 1
+    lp.white_background = True
+    args = Namespace(test_iterations=[], save_iterations=[6],
+                     checkpoint_iterations=[], start_checkpoint=None)
+    trainer = run_training(lp, small_opt(iterations=6), None, args)
+    assert trainer.iteration == 6
+    assert trainer.white_background
+    assert os.path.exists(os.path.join(
+        lp.model_path, "point_cloud", "iteration_6", "point_cloud.ply"))
