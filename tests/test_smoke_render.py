@@ -50,3 +50,50 @@ def test_backward_finite():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
     assert any(float(jnp.abs(g).max()) > 0 for g in grads)
+
+
+def test_mark_visible_frustum():
+    """mark_visible = view-space z > near (markVisible,
+    rasterizer_impl.cu:214-233)."""
+    import numpy as np
+
+    from gsjax.ops.raster import mark_visible
+    from tests.util import look_at_camera
+
+    cam = look_at_camera(width=32, height=32)
+    wv = np.asarray(cam.world_view)
+    c2w = np.linalg.inv(wv)
+    ahead = c2w[:3, 3] + c2w[:3, 2] * 2.0     # 2 units along view dir
+    behind = c2w[:3, 3] - c2w[:3, 2] * 2.0
+    at_cam = c2w[:3, 3]
+    pts = jnp.asarray(np.stack([ahead, behind, at_cam]).astype(np.float32))
+    vis = np.asarray(mark_visible(pts, cam))
+    assert vis.tolist() == [True, False, False]
+
+
+def test_ellipse_trajectory_points_at_scene():
+    """generate_path cameras look toward the scene focus and keep a sane
+    distance (render_utils.py:127-201 equivalent)."""
+    import numpy as np
+
+    from gsjax.ops.raster.camera import Camera
+    from gsjax.utils.trajectories import generate_path
+    from tests.scene_gen import ring_pose
+
+    cams = [Camera.create(*_rt(ring_pose(i, 8)), 0.9, 0.7, 64, 48)
+            for i in range(8)]
+    traj = generate_path(cams, n_frames=12)
+    assert len(traj) == 12
+    for c in traj:
+        assert c.width == 64 and c.height == 48
+        wv = np.asarray(c.world_view)
+        # orthonormal rotation, finite position
+        np.testing.assert_allclose(wv[:3, :3] @ wv[:3, :3].T, np.eye(3),
+                                   atol=1e-5)
+        pos = np.linalg.inv(wv)[:3, 3]
+        assert np.isfinite(pos).all() and np.linalg.norm(pos) < 50
+
+
+def _rt(pose):
+    r_w2c, tvec = pose
+    return r_w2c.T, tvec
