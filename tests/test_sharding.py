@@ -11,6 +11,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gsjax.model import gaussians as gm
 from gsjax.parallel import make_mesh, render_sharded, train_step_sharded
@@ -161,3 +162,39 @@ def test_sharded_training_with_densify_matches_single():
     np.testing.assert_allclose(np.asarray(d_params.xyz),
                                np.asarray(s_params.xyz),
                                rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_run_training_sharded_cli_path(tmp_path):
+    """run_training with n_devices=8 drives the sharded step end-to-end
+    (scene load -> mesh -> densify schedule -> save), the CLI seam above
+    the step-level parity tests."""
+    import os
+    from argparse import Namespace
+
+    from gsjax.config import ModelParams, OptimizationParams
+    from gsjax.train.loop import run_training
+    from tests.test_data import write_synthetic_colmap
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    write_synthetic_colmap(root, n_images=4, width=64, height=32)
+    lp = Namespace(**ModelParams._defaults())
+    lp.source_path = root
+    lp.model_path = str(tmp_path / "out")
+    lp.sh_degree = 1
+    o = Namespace(**OptimizationParams._defaults())
+    o.iterations = 8
+    o.densify_from_iter = 2
+    o.densify_until_iter = 7
+    o.densification_interval = 3
+    o.opacity_reset_interval = 1000
+    o.regularization_from_iter = 10_000
+    args = Namespace(test_iterations=[], save_iterations=[8],
+                     checkpoint_iterations=[], start_checkpoint=None,
+                     n_devices=8)
+    trainer = run_training(lp, o, None, args)
+    assert trainer.sharded and trainer.mesh.devices.size == 8
+    assert trainer.iteration == 8
+    assert os.path.exists(os.path.join(
+        lp.model_path, "point_cloud", "iteration_8", "point_cloud.ply"))
