@@ -14,6 +14,14 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# Platform override for the CLIs. The axon jaxlib ignores the JAX_PLATFORMS
+# environment variable, so honour our own: GSJAX_PLATFORM=cpu forces CPU
+# (e.g. metric runs, or driving train/render while the TPU relay is down).
+if _os.environ.get("GSJAX_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["GSJAX_PLATFORM"])
+
 # Persistent compilation cache: the fused raster/bisection programs take
 # minutes to compile; caching makes every process after the first start in
 # seconds. Opt out with GSJAX_NO_COMPILE_CACHE=1.

@@ -219,6 +219,40 @@ def load_scene(source_path, images="images", masks=None, eval_split=False,
     raise ValueError(f"no COLMAP sparse/ or transforms_train.json under {source_path}")
 
 
+def camera_to_json(idx, view: SceneView) -> dict:
+    """Viewer-facing camera record (utils/camera_utils.py:76-96): c2w
+    position/rotation plus pixel focal lengths, consumed by the SIBR
+    ecosystem's cameras.json."""
+    return {
+        "id": idx,
+        "img_name": view.image_name,
+        "width": int(view.width),
+        "height": int(view.height),
+        "position": [float(x) for x in view.camera_center],
+        "rotation": [[float(x) for x in row] for row in view.R],
+        "fy": float(fov2focal(view.fovy, view.height)),
+        "fx": float(fov2focal(view.fovx, view.width)),
+    }
+
+
+def write_scene_artifacts(model_path: str, info: SceneInfo) -> None:
+    """Model-dir artifacts the reference Scene writes on a fresh run
+    (scene/__init__.py:56-68): the initialisation point cloud copied to
+    input.ply and all cameras (test first, then train — same order) as
+    cameras.json."""
+    os.makedirs(model_path, exist_ok=True)
+    try:
+        with open(info.ply_path, "rb") as src, \
+                open(os.path.join(model_path, "input.ply"), "wb") as dst:
+            dst.write(src.read())
+    except OSError:
+        pass  # source scenes without a materialised ply (read-only dirs)
+    cams = [camera_to_json(i, v)
+            for i, v in enumerate(list(info.test_views) + list(info.train_views))]
+    with open(os.path.join(model_path, "cameras.json"), "w") as f:
+        json.dump(cams, f)
+
+
 def build_nearest_view_graph(views, max_angle=30.0, min_dis=0.01, max_dis=1.5,
                              multi_view_num=8, radius: float | None = None):
     """Nearest-view selection by lexsort(angle, distance) with thresholds

@@ -448,6 +448,8 @@ def run_training(lp, op, pp, args):
                              lp.multi_view_num)
     os.makedirs(lp.model_path, exist_ok=True)
     if primary:
+        from gsjax.data.readers import write_scene_artifacts
+        write_scene_artifacts(lp.model_path, scene)
         with open(os.path.join(lp.model_path, "multi_view.json"), "w") as f:
             for v in scene.train_views:
                 f.write(json.dumps(

@@ -116,3 +116,37 @@ def test_blender_reader(tmp_path):
     assert len(info.train_views) == 3
     assert info.train_views[0].image.shape == (20, 30, 3)
     assert info.points.shape[1] == 3
+
+
+def test_scene_artifacts(tmp_path):
+    from gsjax.core.transforms import fov2focal
+    from gsjax.data.readers import write_scene_artifacts
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    write_synthetic_colmap(root)
+    info = read_colmap_scene(root, eval_split=True)
+    out = str(tmp_path / "model")
+    write_scene_artifacts(out, info)
+
+    # input.ply is a byte copy of the initialisation cloud
+    pts, _, _ = read_pointcloud(os.path.join(out, "input.ply"))
+    np.testing.assert_allclose(pts, info.points, atol=1e-6)
+
+    # cameras.json: reference order (test first), c2w position/rotation,
+    # pixel focals (utils/camera_utils.py:76-96)
+    with open(os.path.join(out, "cameras.json")) as f:
+        cams = json.load(f)
+    views = list(info.test_views) + list(info.train_views)
+    assert len(cams) == len(views)
+    for i, (c, v) in enumerate(zip(cams, views)):
+        assert c["id"] == i and c["img_name"] == v.image_name
+        assert (c["width"], c["height"]) == (v.width, v.height)
+        np.testing.assert_allclose(c["position"], v.camera_center, atol=1e-5)
+        rot = np.array(c["rotation"])
+        np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
+        # recover the world->cam transform from the serialized c2w
+        np.testing.assert_allclose(rot.T @ -np.array(c["position"]), v.T,
+                                   atol=1e-5)
+        assert abs(c["fx"] - fov2focal(v.fovx, v.width)) < 1e-4
+        assert abs(c["fy"] - fov2focal(v.fovy, v.height)) < 1e-4
