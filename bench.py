@@ -42,6 +42,9 @@ def main():
     watchdog.start()
 
     import jax
+    if os.environ.get("GSJAX_PLATFORM"):
+        # the axon jaxlib ignores JAX_PLATFORMS; this is the working override
+        jax.config.update("jax_platforms", os.environ["GSJAX_PLATFORM"])
     import jax.numpy as jnp
 
     from gsjax.ops.raster import RasterConfig, render
@@ -111,5 +114,37 @@ def main():
     }))
 
 
+def _supervise():
+    """Run the benchmark in a child process; on a crash (e.g. SIGSEGV from a
+    persistent-cache entry truncated by an earlier killed process — observed
+    2026-08-17 deserializing ~/.cache/gsjax-xla), wipe the cache and retry
+    once so the driver still gets a JSON line."""
+    import shutil
+    import subprocess
+
+    env = dict(os.environ, GSJAX_BENCH_CHILD="1")
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+    # 0 = ok, 3 = watchdog already printed its error JSON
+    if r.returncode in (0, 3):
+        sys.exit(r.returncode)
+    print(f"bench child crashed (exit {r.returncode}); clearing the "
+          f"persistent XLA cache and retrying once", file=sys.stderr)
+    shutil.rmtree(os.environ.get("GSJAX_COMPILE_CACHE_DIR",
+                                 os.path.expanduser("~/.cache/gsjax-xla")),
+                  ignore_errors=True)
+    time.sleep(150)   # axon TPU claim cooldown after the dead child
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+    if r.returncode not in (0, 3):
+        print(json.dumps({"metric": "raster_fwd_bwd_rays_per_s_1080p",
+                          "value": 0.0, "unit": "rays/s/chip",
+                          "vs_baseline": 0.0,
+                          "error": f"bench crashed twice "
+                                   f"(exit {r.returncode})"}), flush=True)
+    sys.exit(r.returncode)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("GSJAX_BENCH_CHILD"):
+        main()
+    else:
+        _supervise()

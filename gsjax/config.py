@@ -139,20 +139,26 @@ def dump_cfg_args(model_path, args):
             f"{k}={v!r}" for k, v in sorted(vars(args).items())) + ")")
 
 
+def read_cfg_args(model_path: str) -> dict:
+    """Parse a model dir's saved cfg_args into a dict (safely, without the
+    reference's eval(), arguments/__init__.py:125-145). Missing or malformed
+    files yield {}."""
+    try:
+        with open(os.path.join(model_path, "cfg_args")) as f:
+            s = f.read().strip()
+        body = s[len("Namespace("):-1]
+        tree = ast.parse(f"dict({body})", mode="eval")
+        return {kw.arg: ast.literal_eval(kw.value)
+                for kw in tree.body.keywords}
+    except (OSError, SyntaxError, ValueError):
+        return {}
+
+
 def get_combined_args(parser: argparse.ArgumentParser):
     """Merge CLI args with the saved cfg_args (arguments/__init__.py:125-145),
     parsed safely instead of eval()."""
     args_cmdline = parser.parse_args(sys.argv[1:])
-    merged = {}
-    try:
-        with open(os.path.join(args_cmdline.model_path, "cfg_args")) as f:
-            s = f.read().strip()
-        body = s[len("Namespace("):-1]
-        tree = ast.parse(f"dict({body})", mode="eval")
-        merged = {kw.arg: ast.literal_eval(kw.value)
-                  for kw in tree.body.keywords}
-    except (OSError, SyntaxError, ValueError):
-        pass
+    merged = read_cfg_args(args_cmdline.model_path)
     for k, v in vars(args_cmdline).items():
         if v is not None:
             merged[k] = v

@@ -127,6 +127,7 @@ def main():
 
     result = {
         "scene": "sphere_ring",
+        "platform": jax.default_backend(),
         "iterations": args.iterations,
         "n_train_views": len(scene.train_views),
         "n_test_views": len(scene.test_views),

@@ -7,6 +7,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+# No persistent compilation cache under pytest: with 60+ tests (hundreds of
+# compiled programs) in one process, the cache's native serialize/deserialize
+# path segfaults nondeterministically (observed 2026-08-17 in both
+# get_executable_and_time and put_executable_and_time on this jaxlib). The
+# cache only pays off for the TPU CLIs, which compile a handful of programs
+# per process; bench.py additionally supervises/retries around a crash.
+os.environ["GSJAX_NO_COMPILE_CACHE"] = "1"
 
 import jax  # noqa: E402
 
