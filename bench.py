@@ -127,6 +127,17 @@ def _supervise():
     # 0 = ok, 3 = watchdog already printed its error JSON
     if r.returncode in (0, 3):
         sys.exit(r.returncode)
+    if r.returncode > 0:
+        # Ordinary Python exception (bad env var, import error): the cache is
+        # healthy and a retry is futile — report and exit without wiping it.
+        print(json.dumps({"metric": "raster_fwd_bwd_rays_per_s_1080p",
+                          "value": 0.0, "unit": "rays/s/chip",
+                          "vs_baseline": 0.0,
+                          "error": f"bench raised (exit {r.returncode}); "
+                                   f"see stderr"}), flush=True)
+        sys.exit(r.returncode)
+    # Signal death (SIGSEGV/SIGABRT) — the observed failure mode is a
+    # truncated persistent-cache entry; wipe and retry once.
     print(f"bench child crashed (exit {r.returncode}); clearing the "
           f"persistent XLA cache and retrying once", file=sys.stderr)
     shutil.rmtree(os.environ.get("GSJAX_COMPILE_CACHE_DIR",

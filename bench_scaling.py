@@ -19,7 +19,9 @@ eff(N) and vs_baseline is against the 0.80 north-star target, plus a per-N
 rays/s table on stderr. Writes SCALING.json with the full table.
 
 Env: GSJAX_BENCH_{WIDTH,HEIGHT,N,ITERS}, GSJAX_SCALING_DEVICES (max mesh
-size; default = all available devices).
+size; default = all available devices). GSJAX_SCALING_MODE=views benchmarks
+the serving path instead (`render_views_sharded`: whole views data-parallel
+over the mesh, one frame per device per round) and reports views/s scaling.
 """
 
 from __future__ import annotations
@@ -96,6 +98,7 @@ def main():
         while d <= n_max:
             meshes.append(d)
             d *= 2
+    mode = os.environ.get("GSJAX_SCALING_MODE", "train")
     rows = []
     for nd in meshes:
         mesh = make_mesh(nd)
@@ -104,39 +107,64 @@ def main():
         dev_cap = max(1 << 14, pair_cap // nd)
         cfg = RasterConfig(pair_capacity=pair_cap, max_per_tile=1 << 11,
                            sh_degree=3, require_depth=True)
+        if mode == "views":
+            # serving path: nd whole frames per round, one per device
+            from gsjax.parallel import render_views_sharded
+            from gsjax.ops.raster.camera import Camera
+
+            def rot_cam(a):
+                c, s = np.cos(a), np.sin(a)
+                r = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+                return Camera.create(r, np.zeros(3, np.float32), 1.0, 0.66,
+                                     width, height)
+
+            cams = [rot_cam(0.02 * i) for i in range(nd)]
+            step = lambda: render_views_sharded(  # noqa: E731
+                params, aux, cams, cfg, bg, mesh)
+            per_round = nd   # frames per timed call
+        else:
+            step = lambda: train_step_sharded(  # noqa: E731
+                params, aux, adam, cam, gt, bg, lrs, cfg, lc, mesh,
+                dev_pair_capacity=dev_cap)
+            per_round = 1
         t0 = time.perf_counter()
-        out = train_step_sharded(params, aux, adam, cam, gt, bg, lrs, cfg,
-                                 lc, mesh, dev_pair_capacity=dev_cap)
+        out = step()
         jax.block_until_ready(out)
         warm = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = train_step_sharded(params, aux, adam, cam, gt, bg, lrs,
-                                     cfg, lc, mesh, dev_pair_capacity=dev_cap)
+            out = step()
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
-        rays = width * height / dt
+        rays = width * height * per_round / dt
         rows.append({"devices": nd, "iter_s": round(dt, 4),
                      "rays_per_s": round(rays, 1),
+                     "frames_per_round": per_round,
                      "dev_pair_capacity": dev_cap})
-        print(f"n={nd}: {dt * 1e3:.1f} ms/iter, {rays / 1e6:.2f} Mrays/s "
-              f"(warmup {warm:.0f}s)", file=sys.stderr)
+        print(f"n={nd}: {dt * 1e3:.1f} ms/round ({per_round} frame(s)), "
+              f"{rays / 1e6:.2f} Mrays/s (warmup {warm:.0f}s)",
+              file=sys.stderr)
 
-    t1 = rows[0]["iter_s"]
+    # strong-scaling efficiency on per-frame throughput: rays/s(n) / (n *
+    # rays/s(1)) — in train mode per_round==1 so this is the usual T1/(n*Tn);
+    # in views mode each round renders n frames so it reduces to T1/Tn.
+    r1 = rows[0]["rays_per_s"]
     for r in rows:
-        r["efficiency"] = round(t1 / (r["devices"] * r["iter_s"]), 4)
+        r["efficiency"] = round(r["rays_per_s"] / (r["devices"] * r1), 4)
     eff = rows[-1]["efficiency"]
     table = {"platform": jax.devices()[0].platform,
              "virtual_devices": jax.devices()[0].platform == "cpu",
+             "mode": mode,
              "width": width, "height": height, "n_gaussians": n,
              "rows": rows}
+    out_name = "SCALING.json" if mode == "train" else "SCALING_views.json"
     with open(os.path.join(os.path.dirname(__file__) or ".",
-                           "SCALING.json"), "w") as f:
+                           out_name), "w") as f:
         json.dump(table, f, indent=1)
     print(json.dumps({
-        "metric": f"train_step_scaling_efficiency_{rows[-1]['devices']}dev",
+        "metric": f"{mode}_scaling_efficiency_{rows[-1]['devices']}dev",
         "value": eff,
-        "unit": "T1/(n*Tn)",
+        "unit": "rays_per_s(n)/(n*rays_per_s(1))",
         "vs_baseline": round(eff / TARGET_EFFICIENCY, 4),
     }))
 

@@ -167,6 +167,70 @@ def render_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
             for k, v in tiles.items()}
 
 
+def stack_cameras(cams) -> Camera:
+    """Stack same-resolution cameras into one batched Camera pytree (leading
+    axis = view). Width/height are static treedef metadata, so they must
+    match across the batch."""
+    w, h = cams[0].width, cams[0].height
+    if any(c.width != w or c.height != h for c in cams):
+        raise ValueError("stack_cameras requires a uniform resolution batch")
+    import numpy as np
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *cams)
+
+
+def render_views_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
+                         cameras, cfg: RasterConfig, bg, mesh: Mesh):
+    """Batch NVS serving: views data-parallel over the device mesh.
+
+    The training path shards TILES of one frame (`render_sharded`) to cut
+    per-step latency; for offline/serving rendering the natural scale-out is
+    whole VIEWS — each chip renders different cameras with the replicated
+    model, no collectives except the output layout. The reference has no
+    analog (single-GPU, one view at a time, render.py:32).
+
+    `cameras` is a list of same-resolution `Camera`s or an already-stacked
+    batched Camera. The batch is padded to a multiple of the mesh size by
+    repeating the last view; only the real views are returned.
+
+    Returns dict of [B, H, W, ...] arrays (render/alpha/normal/median_depth).
+    """
+    cams = stack_cameras(cameras) if isinstance(cameras, (list, tuple)) \
+        else cameras
+    b = cams.campos.shape[0]
+    n_dev = mesh.devices.size
+    pad = (-b) % n_dev
+    if pad:
+        cams = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad, axis=0)]), cams)
+    out = _render_views_jit(params, aux, bg, cams, cfg, mesh)
+    return {k: v[:b] for k, v in out.items()}
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _render_views_jit(params, aux, bg, cams, cfg: RasterConfig, mesh: Mesh):
+    from gsjax.ops.raster.api import render
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(), P(), P(AXIS)),
+             out_specs=P(AXIS), check_vma=False)
+    def run(p, aux_, bg_, my_cams):
+        scales, opac = gm.scaling_n_opacity_with_3d_filter(p, aux_.filter_3d)
+        feats = gm.get_features(p)
+        sga, sgs = gm.get_sg_axis(p), gm.get_sg_sharpness(p)
+
+        def one(cam):
+            out = render(p.xyz, scales, p.rotation, opac, feats, cam, cfg,
+                         bg_, sg_axis=sga, sg_sharpness=sgs,
+                         sg_color=p.sg_color, alive=aux_.alive)
+            return {k: out[k]
+                    for k in ("render", "alpha", "normal", "median_depth")}
+
+        return jax.lax.map(one, my_cams)
+
+    return run(params, aux, bg, cams)
+
+
 def _row_slice(x, r0, nrows, total_rows):
     """Slice `nrows` rows starting at traced offset r0, zero-padding the row
     axis to `total_rows` first so the slice never clamps."""

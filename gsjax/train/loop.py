@@ -269,7 +269,19 @@ class Trainer:
                 p2, aux2, adam2, metrics = train_step(
                     self.params, self.aux, self.adam, view.camera,
                     self.gt_for(view), bg, self.lrs(), cfg, lcfg, **common)
-            if not self.overflowed(metrics):
+            if _attempt == 0:
+                # The step above is dispatched but not finished: predict the
+                # NEXT step's view by peeking the random stream (state is
+                # restored, so the real draw reproduces it — no stream shift,
+                # resume stays bit-identical) and start its gt upload, an
+                # async device_put, under this step's compute. Only matters
+                # on LRU misses, i.e. scenes whose frames outgrow
+                # gt_cache_bytes.
+                st = random.getstate()
+                nxt = random.choice(self.scene.train_views)
+                random.setstate(st)
+                self.gt_for(nxt)
+            if not self.overflowed(metrics):   # first blocking read
                 break
             self.monitor_capacity(metrics)   # grows the overflowed bucket
             cfg = self.raster_cfg(require_depth=reg_on)

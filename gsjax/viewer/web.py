@@ -27,6 +27,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import math
 import os
@@ -63,14 +64,11 @@ def look_at(pos, target):
 
 
 def projection(znear, zfar, fovx, fovy):
-    """utils/graphics_utils.py getProjectionMatrix: z in [0,1], +z forward."""
-    p = np.zeros((4, 4))
-    p[0, 0] = 1.0 / math.tan(fovx / 2)
-    p[1, 1] = 1.0 / math.tan(fovy / 2)
-    p[2, 2] = zfar / (zfar - znear)
-    p[2, 3] = -(zfar * znear) / (zfar - znear)
-    p[3, 2] = 1.0
-    return p
+    """The training/render projection convention, from one source of truth
+    (numpy-only import; no jax needed in bridge mode)."""
+    from gsjax.core.transforms import projection_matrix
+
+    return projection_matrix(znear, zfar, fovx, fovy).astype(np.float64)
 
 
 def orbit_matrices(yaw, pitch, radius, target, fovx, width, height,
@@ -117,10 +115,15 @@ class SIBRBridge:
     request/response)."""
 
     def __init__(self, host: str, port: int, timeout: float = 30.0):
-        self.host, self.port = host, port
-        self.sock = socket.create_connection((host, port), timeout)
-        self.sock.settimeout(timeout)
+        self.host, self.port, self.timeout = host, port, timeout
+        self.sock = None
         self.lock = threading.Lock()
+        self._connect()
+
+    def _connect(self):
+        self.sock = socket.create_connection((self.host, self.port),
+                                             self.timeout)
+        self.sock.settimeout(self.timeout)
 
     def _recv_exact(self, n):
         buf = b""
@@ -132,15 +135,28 @@ class SIBRBridge:
         return buf
 
     def request(self, msg: dict):
-        """-> (rgb bytes [h*w*3], verify string)."""
+        """-> (rgb bytes [h*w*3], verify string).
+
+        The wire protocol is strictly request/response with no framing for
+        resync: after ANY failure mid-exchange (e.g. a socket timeout while
+        the trainer jit-compiles a new resolution) the stream position is
+        unknown, so the connection is dropped and re-dialed on the next
+        request rather than left permanently desynchronised."""
         w, h = msg["resolution_x"], msg["resolution_y"]
         payload = json.dumps(msg).encode("utf-8")
         with self.lock:
-            self.sock.sendall(len(payload).to_bytes(4, "little"))
-            self.sock.sendall(payload)
-            rgb = self._recv_exact(w * h * 3) if w and h else b""
-            vn = int.from_bytes(self._recv_exact(4), "little")
-            verify = self._recv_exact(vn).decode("ascii")
+            try:
+                if self.sock is None:
+                    self._connect()
+                self.sock.sendall(len(payload).to_bytes(4, "little"))
+                self.sock.sendall(payload)
+                rgb = self._recv_exact(w * h * 3) if w and h else b""
+                vn = int.from_bytes(self._recv_exact(4), "little")
+                verify = self._recv_exact(vn).decode("ascii")
+            except (OSError, ConnectionError):
+                self.close()
+                self.sock = None
+                raise
         return rgb, verify
 
     def close(self):
@@ -186,8 +202,18 @@ class LocalModel:
             "point_cloud.ply"))
         self.params, self.aux = params, aux
         self.gm = gm
-        self.sh_degree = int(cfg_args.get("sh_degree", 3))
-        self.sg_degree = int(cfg_args.get("sg_degree", 0))
+        if not cfg_args:
+            # The PLY shapes pin the degrees; kernel_size/background fall to
+            # the reference defaults. Warn loudly — a wrong kernel_size only
+            # changes the low-pass dilation, but silence would hide it.
+            print(f"WARNING: no cfg_args in {model_path}; inferring "
+                  f"sh/sg degree from the PLY and using default "
+                  f"kernel_size/background", flush=True)
+        m_rest = params.features_rest.shape[1]          # (deg+1)^2 - 1
+        self.sh_degree = int(cfg_args.get("sh_degree",
+                                          round(math.sqrt(m_rest + 1)) - 1))
+        self.sg_degree = int(cfg_args.get("sg_degree",
+                                          params.sg_color.shape[1]))
         self.kernel_size = float(cfg_args.get("kernel_size", 0.1))
         self.bg = (jnp.ones(3) if cfg_args.get("white_background", False)
                    else jnp.zeros(3))
@@ -221,11 +247,22 @@ class LocalModel:
         with self._lock:   # one TPU render at a time
             scales, opac = gm.scaling_n_opacity_with_3d_filter(
                 params, aux.filter_3d)
-            out = render(params.xyz, scales * sm, params.rotation, opac,
-                         gm.get_features(params), cam, self.cfg, self.bg,
-                         sg_axis=gm.get_sg_axis(params),
-                         sg_sharpness=gm.get_sg_sharpness(params),
-                         sg_color=params.sg_color, alive=aux.alive)
+            for _ in range(6):   # grow buffers on overflow; never drop splats
+                out = render(params.xyz, scales * sm, params.rotation, opac,
+                             gm.get_features(params), cam, self.cfg, self.bg,
+                             sg_axis=gm.get_sg_axis(params),
+                             sg_sharpness=gm.get_sg_sharpness(params),
+                             sg_color=params.sg_color, alive=aux.alive)
+                np_, mt = int(out["num_pairs"]), int(out["max_tile_count"])
+                if (np_ <= self.cfg.pair_capacity
+                        and mt <= self.cfg.max_per_tile):
+                    break
+                self.cfg = dataclasses.replace(
+                    self.cfg,
+                    pair_capacity=max(self.cfg.pair_capacity,
+                                      1 << (max(np_, 1) - 1).bit_length()),
+                    max_per_tile=max(self.cfg.max_per_tile,
+                                     1 << (max(mt, 1) - 1).bit_length()))
             img = np.asarray(out["render"])
         u8 = np.asarray(np.clip(img, 0, 1) * 255 + 0.5, np.uint8)
         return w, h, u8.tobytes(), self.verify
@@ -275,8 +312,11 @@ window.onmousemove = e => {
     // camera right / down axes from yaw+pitch (y-down world)
     const cy = Math.cos(S.yaw), sy = Math.sin(S.yaw);
     const cp = Math.cos(S.pitch), sp = Math.sin(S.pitch);
+    // right = -right_cam, down = +down_cam of look_at(): with the
+    // -= (dx*right - dy*down) update below, content moves opposite the
+    // cursor on both axes (camera-pan convention).
     const right = [cy, 0, sy];
-    const down = [-sy*sp, cp, cy*sp];
+    const down = [-sy*sp, -cp, cy*sp];
     const k = 0.0018 * S.radius;
     for (let i = 0; i < 3; i++)
       S.target[i] -= k * (dx * right[i] - dy * down[i]);

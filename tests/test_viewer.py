@@ -122,13 +122,18 @@ def test_viewer_loopback_during_training(tmp_path):
     results = {}
 
     def client():
-        for _ in range(200):
+        # time-based window: run_training compiles scene setup (KNN, filter)
+        # BEFORE binding the GUI listener, which can exceed minutes on a
+        # loaded CPU — retry until the deadline, not a fixed attempt count
+        deadline = time.time() + 600
+        c = None
+        while time.time() < deadline:
             try:
                 c = socket.create_connection(("127.0.0.1", port), timeout=0.5)
                 break
             except OSError:
-                time.sleep(0.1)
-        else:
+                time.sleep(0.2)
+        if c is None:
             results["err"] = "could not connect"
             return
         # create_connection's 0.5s timeout sticks to the socket: the first

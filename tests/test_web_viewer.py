@@ -183,3 +183,49 @@ def test_local_mode_renders_model_dir(tmp_path):
         r.read()
     finally:
         viewer.stop()
+
+
+def test_local_mode_overflow_growth_and_cfg_inference(tmp_path):
+    """Undersized buffers grow on overflow instead of silently dropping
+    splats, and a missing cfg_args infers sh/sg degree from the PLY."""
+    import dataclasses
+
+    from argparse import Namespace
+
+    from tests.test_train_step import make_model
+
+    from gsjax.config import dump_cfg_args
+    from gsjax.model.io import save_ply
+
+    params, aux = make_model(n=60, capacity=64, seed=3)
+    mdir = str(tmp_path / "model")
+    pdir = os.path.join(mdir, "point_cloud", "iteration_30")
+    os.makedirs(pdir)
+    save_ply(os.path.join(pdir, "point_cloud.ply"), params, aux)
+    dump_cfg_args(mdir, Namespace(sh_degree=1, sg_degree=0, kernel_size=0.1,
+                                  white_background=False))
+
+    ref = LocalModel(mdir)
+    w, h, rgb_ref, _ = ref.frame(_orbit_req(w=96, h=64))
+
+    # force overflow: tiny initial buffers
+    small = LocalModel(mdir)
+    small.cfg = dataclasses.replace(small.cfg, pair_capacity=128,
+                                    max_per_tile=8)
+    w2, h2, rgb_small, _ = small.frame(_orbit_req(w=96, h=64))
+    assert (w2, h2) == (w, h)
+    assert small.cfg.pair_capacity > 128          # grew
+    # no dropped splats: identical up to u8 rounding / depth-tie sort order
+    a = np.frombuffer(rgb_small, np.uint8).astype(np.int16)
+    b = np.frombuffer(rgb_ref, np.uint8).astype(np.int16)
+    assert np.abs(a - b).max() <= 1
+
+    # missing cfg_args: degrees inferred from the PLY (sh_degree=1 -> 3
+    # rest coefficients), defaults warned about but usable
+    bare = str(tmp_path / "bare")
+    os.makedirs(os.path.join(bare, "point_cloud"))
+    import shutil
+    shutil.copytree(pdir, os.path.join(bare, "point_cloud", "iteration_30"))
+    m2 = LocalModel(bare)
+    assert m2.sh_degree == 1
+    assert m2.sg_degree == params.sg_color.shape[1]
