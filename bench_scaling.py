@@ -123,9 +123,25 @@ def main():
                 params, aux, cams, cfg, bg, mesh)
             per_round = nd   # frames per timed call
         else:
+            band_kw = {}
+            if mode == "train_balanced" and nd > 1:
+                # one warm step with equal bands harvests the per-row pair
+                # histogram; the timed loop then uses equal-PAIR bounds —
+                # exactly what the Trainer does every step. On a synthetic
+                # centred scene the win mirrors real scenes' central
+                # clustering (PERF.md "band load imbalance").
+                from gsjax.parallel import balance_band_bounds
+                _, _, _, m0 = train_step_sharded(
+                    params, aux, adam, cam, gt, bg, lrs, cfg, lc, mesh,
+                    dev_pair_capacity=dev_cap)
+                hist = np.asarray(m0["row_pairs"])
+                tiles_y = len(hist)
+                rpm = min(tiles_y, -(-tiles_y // nd) * 2)
+                band_kw = dict(row_bounds=balance_band_bounds(hist, nd, rpm),
+                               rows_per_max=rpm)
             step = lambda: train_step_sharded(  # noqa: E731
                 params, aux, adam, cam, gt, bg, lrs, cfg, lc, mesh,
-                dev_pair_capacity=dev_cap)
+                dev_pair_capacity=dev_cap, **band_kw)
             per_round = 1
         t0 = time.perf_counter()
         out = step()

@@ -26,6 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gsjax.model import gaussians as gm
@@ -127,42 +128,123 @@ def _tiles_to_image(tiles, tiles_x, tiles_y, width, height, cfg: RasterConfig):
     return v[:height, :width]
 
 
-def _band_tiles(camera: Camera, cfg: RasterConfig, n_dev: int):
-    """Row-aligned tile bands: device d owns tile rows [d*rp, (d+1)*rp).
+def equal_band_bounds(tiles_y: int, n_dev: int) -> np.ndarray:
+    """Equal tile-row partition boundaries: device d owns rows [b[d], b[d+1])."""
+    rows_per = -(-tiles_y // n_dev)
+    return np.minimum(np.arange(n_dev + 1) * rows_per, tiles_y).astype(np.int32)
 
-    Row alignment lets each device bin ONLY its band's pairs
-    (bin_gaussians row_lo/row_hi) instead of replicating the global sort."""
+
+def balance_band_bounds(row_pairs, n_dev: int,
+                        rows_per_max: int) -> np.ndarray:
+    """Equal-PAIR contiguous tile-row partition (host-side, numpy).
+
+    Equal-row bands give each device equal PIXELS, not equal PAIRS: on real
+    scenes gaussians cluster centrally, so central bands can carry several
+    times the blend work of edge bands, capping strong-scaling efficiency at
+    mean/max pair share. This picks contiguous row boundaries so every band's
+    pair count approximates total/n_dev, subject to
+
+      - band height <= rows_per_max (the static Pallas grid bound), and
+      - full coverage of [0, tiles_y) (bands may be empty).
+
+    Boundaries are traced inputs of the sharded step, so re-choosing them
+    every step from the previous step's psum'd per-row pair counts
+    (`metrics["row_pairs"]`) never recompiles. Any valid partition yields
+    bit-identical losses/gradients — only the work distribution changes.
+    """
+    row_pairs = np.asarray(row_pairs, np.float64)
+    tiles_y = row_pairs.shape[0]
+    if n_dev * rows_per_max < tiles_y:
+        raise ValueError(
+            f"rows_per_max={rows_per_max} x {n_dev} devices cannot cover "
+            f"{tiles_y} tile rows")
+    w = row_pairs + 1e-3                      # keep empty rows assignable
+    cum = np.concatenate([[0.0], np.cumsum(w)])
+    total = cum[-1]
+    b = np.zeros(n_dev + 1, np.int64)
+    b[n_dev] = tiles_y
+    for d in range(1, n_dev):
+        q = int(np.searchsorted(cum, total * d / n_dev, side="left"))
+        lo = max(b[d - 1], tiles_y - (n_dev - d) * rows_per_max)
+        hi = min(b[d - 1] + rows_per_max, tiles_y)
+        b[d] = min(max(q, lo), hi)
+    return b.astype(np.int32)
+
+
+def _band_grid(camera: Camera, cfg: RasterConfig, n_dev: int):
     tiles_x, tiles_y = cfg.grid(camera.width, camera.height)
     rows_per = -(-tiles_y // n_dev)
-    t_pad = n_dev * rows_per * tiles_x
-    tile_ids = jnp.arange(t_pad, dtype=jnp.int32).reshape(n_dev, -1)
-    return tiles_x, tiles_y, rows_per, tile_ids
+    return tiles_x, tiles_y, rows_per
+
+
+def _my_band_tiles(row_bounds, i_dev, rows_per_max: int, tiles_x: int,
+                   num_tiles: int):
+    """Global tile ids of this device's band [row_bounds[i], row_bounds[i+1]),
+    padded to the static rows_per_max x tiles_x grid with the sentinel
+    `num_tiles` (downstream masks force count=0 for sentinel tiles)."""
+    r_lo = row_bounds[i_dev]
+    rows = r_lo + jnp.arange(rows_per_max, dtype=jnp.int32)
+    in_band = rows < row_bounds[i_dev + 1]
+    t2d = rows[:, None] * tiles_x + \
+        jnp.arange(tiles_x, dtype=jnp.int32)[None, :]
+    return jnp.where(in_band[:, None], t2d, num_tiles).reshape(-1)
+
+
+def _assemble_band_tiles(local: dict, row_bounds, rows_per_max: int,
+                         tiles_x: int, tiles_y: int) -> dict:
+    """all_gather per-device tile buffers and re-order into global tile order.
+
+    Device d's buffer holds tile rows [b[d], b[d]+rows_per_max), of which
+    only [b[d], b[d+1]) are in-band; a searchsorted owner map gathers each
+    global tile row from its owner's slot. The gather's transpose scatters
+    loss cotangents back to the owning device (out-of-band slots get zero),
+    so gradients through the reassembly are exact for ANY valid partition."""
+    g_rows = jnp.arange(tiles_y, dtype=jnp.int32)
+    # smallest d with row_bounds[d+1] > r; [1:-1] implicitly clamps to n-1
+    owner = jnp.searchsorted(row_bounds[1:-1], g_rows,
+                             side="right").astype(jnp.int32)
+    base = owner * (rows_per_max * tiles_x) + \
+        (g_rows - row_bounds[owner]) * tiles_x
+    idx = (base[:, None] +
+           jnp.arange(tiles_x, dtype=jnp.int32)[None, :]).reshape(-1)
+    return {k: jax.lax.all_gather(v, AXIS, tiled=True)[idx]
+            for k, v in local.items()}
 
 
 def render_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                    camera: Camera, cfg: RasterConfig, bg, mesh: Mesh,
-                   dev_pair_capacity: int | None = None):
-    """Full-frame render with tiles sharded over the mesh."""
-    n_dev = mesh.devices.size
-    tiles_x, tiles_y, rows_per, tile_ids = _band_tiles(camera, cfg, n_dev)
+                   dev_pair_capacity: int | None = None,
+                   row_bounds=None, rows_per_max: int | None = None):
+    """Full-frame render with tiles sharded over the mesh.
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(), P(), P(AXIS)),
+    `row_bounds` ([n_dev+1] tile-row partition, see `balance_band_bounds`)
+    defaults to equal rows; `rows_per_max` is the static per-device row cap
+    (>= the widest band)."""
+    n_dev = mesh.devices.size
+    tiles_x, tiles_y, rows_per = _band_grid(camera, cfg, n_dev)
+    if row_bounds is None:
+        row_bounds = equal_band_bounds(tiles_y, n_dev)
+    if rows_per_max is None:
+        rows_per_max = rows_per
+    num_tiles = tiles_x * tiles_y
+    row_bounds = jnp.asarray(row_bounds, jnp.int32)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(), P(), P()),
              out_specs=P(), check_vma=False)
-    def run(p, aux_, bg_, my_tiles):
+    def run(p, aux_, bg_, rb):
         scales, opac = gm.scaling_n_opacity_with_3d_filter(p, aux_.filter_3d)
         prep = preprocess(p.xyz, scales, p.rotation, opac, gm.get_features(p),
                           gm.get_sg_axis(p), gm.get_sg_sharpness(p), p.sg_color,
                           camera, cfg, aux_.alive)
-        row_lo = jax.lax.axis_index(AXIS) * rows_per
+        i_dev = jax.lax.axis_index(AXIS)
         binning = bin_gaussians(prep, cfg, camera.width, camera.height,
-                                row_lo=row_lo,
-                                row_hi=jnp.minimum(row_lo + rows_per, tiles_y),
+                                row_lo=rb[i_dev], row_hi=rb[i_dev + 1],
                                 pair_capacity=dev_pair_capacity)
-        local = _render_local_tiles(prep, binning, camera, cfg, bg_, my_tiles[0])
-        gathered = {k: jax.lax.all_gather(v, AXIS, tiled=True) for k, v in local.items()}
-        return gathered
+        my_tiles = _my_band_tiles(rb, i_dev, rows_per_max, tiles_x, num_tiles)
+        local = _render_local_tiles(prep, binning, camera, cfg, bg_, my_tiles)
+        return _assemble_band_tiles(local, rb, rows_per_max, tiles_x, tiles_y)
 
-    tiles = run(params, aux, bg, tile_ids)
+    tiles = run(params, aux, bg, row_bounds)
     return {k: _tiles_to_image(v, tiles_x, tiles_y, camera.width, camera.height, cfg)
             for k, v in tiles.items()}
 
@@ -240,7 +322,8 @@ def _row_slice(x, r0, nrows, total_rows):
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "loss_cfg", "mesh", "dev_pair_capacity"))
+         static_argnames=("cfg", "loss_cfg", "mesh", "dev_pair_capacity",
+                          "rows_per_max"))
 def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                        adam: gm.AdamState, camera: Camera, gt_image, bg,
                        lrs, cfg: RasterConfig, loss_cfg: LossConfig, mesh: Mesh,
@@ -248,7 +331,8 @@ def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                        app_net: dict | None = None,
                        near_cam: Camera | None = None,
                        gray_r=None, gray_n=None,
-                       dev_pair_capacity: int | None = None):
+                       dev_pair_capacity: int | None = None,
+                       row_bounds=None, rows_per_max: int | None = None):
     """Sharded train step, full parity with `train.step.train_step`:
     per-device binning + tile blend, psum'd parameter / mean2d-tap /
     appearance gradients, replicated Adam update, densification stats.
@@ -264,9 +348,20 @@ def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
     Only the GOF appearance CNN (1/32-res input) runs replicated; its loss
     cotangents still arrive band-partitioned so psum'd grads stay correct.
 
-    Returns (params, aux, adam, metrics) exactly like train_step."""
+    Returns (params, aux, adam, metrics) exactly like train_step.
+
+    `row_bounds` (traced [n_dev+1] tile-row partition) + static
+    `rows_per_max` enable equal-PAIR load-balanced bands (see
+    `balance_band_bounds`); default is equal rows. Any valid partition
+    produces identical losses/gradients."""
     n_dev = mesh.devices.size
-    tiles_x, tiles_y, rows_per, tile_ids = _band_tiles(camera, cfg, n_dev)
+    tiles_x, tiles_y, rows_per = _band_grid(camera, cfg, n_dev)
+    if row_bounds is None:
+        row_bounds = equal_band_bounds(tiles_y, n_dev)
+    if rows_per_max is None:
+        rows_per_max = rows_per
+    num_tiles = tiles_x * tiles_y
+    row_bounds = jnp.asarray(row_bounds, jnp.int32)
     height, width = int(camera.height), int(camera.width)
     mv_on = (loss_cfg.reg_on and loss_cfg.mv_on and cfg.require_depth
              and near_cam is not None
@@ -284,9 +379,9 @@ def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
     bv = -(-hv // n_dev)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), P(), P(AXIS), P(), P(), P(), P()),
+             in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
              out_specs=P(), check_vma=False)
-    def run(p, aux_, gt, bg_, my_tiles, gr, gn, emb, net):
+    def run(p, aux_, gt, bg_, rb, gr, gn, emb, net):
         i_dev = jax.lax.axis_index(AXIS)
 
         def loss_fn(p_, mean2d_offset, emb_, net_):
@@ -296,15 +391,15 @@ def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                               gm.get_sg_sharpness(p_), p_.sg_color,
                               camera, cfg, aux_.alive)
             prep = dataclasses.replace(prep, mean2d=prep.mean2d + mean2d_offset)
-            row_lo = i_dev * rows_per
             binning = bin_gaussians(
-                prep, cfg, width, height, row_lo=row_lo,
-                row_hi=jnp.minimum(row_lo + rows_per, tiles_y),
-                pair_capacity=dev_pair_capacity)
+                prep, cfg, width, height, row_lo=rb[i_dev],
+                row_hi=rb[i_dev + 1], pair_capacity=dev_pair_capacity)
+            my_tiles = _my_band_tiles(rb, i_dev, rows_per_max, tiles_x,
+                                      num_tiles)
             local = _render_local_tiles(prep, binning, camera, cfg, bg_,
-                                        my_tiles[0])
-            full = {k: jax.lax.all_gather(v, AXIS, tiled=True)
-                    for k, v in local.items()}
+                                        my_tiles)
+            full = _assemble_band_tiles(local, rb, rows_per_max, tiles_x,
+                                        tiles_y)
             img = _tiles_to_image(full["color"], tiles_x, tiles_y,
                                   width, height, cfg)
 
@@ -420,7 +515,13 @@ def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                 ncc_loss=ncc_l, geo_loss=geo_l,
                 num_pairs=jax.lax.psum(binning.num_pairs, AXIS),
                 dev_num_pairs=jax.lax.pmax(binning.num_pairs, AXIS),
-                max_tile_count=jax.lax.pmax(binning.max_tile_count, AXIS))
+                max_tile_count=jax.lax.pmax(binning.max_tile_count, AXIS),
+                # per-tile-row global pair counts: bands are disjoint and
+                # out-of-band tiles report 0, so the psum is the exact global
+                # histogram — the host's input for balance_band_bounds
+                row_pairs=jax.lax.psum(
+                    binning.tile_count.reshape(tiles_y, tiles_x).sum(axis=1),
+                    AXIS))
             side = dict(visibility=prep.radius > 0, radii=prep.radius)
             return part, (jax.lax.stop_gradient(metrics), side)
 
@@ -457,7 +558,7 @@ def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
         return metrics, side, gp, g2d, g_emb, g_net
 
     metrics, side, gp, g2d, g_emb, g_net = run(
-        params, aux, gt_image, bg, tile_ids, gray_r, gray_n,
+        params, aux, gt_image, bg, row_bounds, gray_r, gray_n,
         app_embedding, app_net)
     metrics["app_grad"] = g_emb
     metrics["app_net_grad"] = g_net

@@ -61,6 +61,14 @@ class Trainer:
     # each device bins only its own row band into a dev_pair_capacity buffer
     mesh: "object" = None
     dev_pair_capacity: int = 1 << 16
+    # equal-PAIR band balancing: per-tile-row pair histograms (EMA, keyed by
+    # tiles_y so multi-resolution scenes don't mix) feed
+    # balance_band_bounds; rows_factor bounds a band at factor x the
+    # equal-rows height (static Pallas grid size). GSJAX_BAND_BALANCE=0
+    # reverts to equal-row bands.
+    band_balance: bool = os.environ.get("GSJAX_BAND_BALANCE", "1") not in ("0", "")
+    band_rows_factor: float = float(os.environ.get("GSJAX_BAND_ROWS_FACTOR", "2"))
+    _row_pairs: dict = dataclasses.field(default_factory=dict)
     random_background: bool = False
     # device-resident gt cache: without it every step re-uploads the frame
     # (24 MB at 1080p) host->device — expensive over thin transports and
@@ -167,6 +175,35 @@ class Trainer:
     def sharded(self) -> bool:
         return self.mesh is not None and self.mesh.devices.size > 1
 
+    def band_kwargs(self, camera, cfg) -> dict:
+        """row_bounds/rows_per_max for the sharded step: equal-pair bands
+        re-chosen each step from the previous step's per-row pair histogram
+        (traced inputs — rebalancing never recompiles; one program per
+        (tiles_y, rows_per_max))."""
+        if not (self.sharded and self.band_balance):
+            return {}
+        from gsjax.parallel import balance_band_bounds, equal_band_bounds
+        n = int(self.mesh.devices.size)
+        _, tiles_y = cfg.grid(camera.width, camera.height)
+        rows_per = -(-tiles_y // n)
+        rpm = min(tiles_y,
+                  max(rows_per, int(np.ceil(self.band_rows_factor * rows_per))))
+        hist = self._row_pairs.get(tiles_y)
+        bounds = equal_band_bounds(tiles_y, n) if hist is None \
+            else balance_band_bounds(hist, n, rpm)
+        return dict(row_bounds=bounds, rows_per_max=rpm)
+
+    def note_row_pairs(self, metrics):
+        """Fold this step's per-row pair histogram into the EMA that drives
+        the next step's band boundaries."""
+        if "row_pairs" not in metrics:
+            return
+        new = np.asarray(metrics["row_pairs"], np.float64)
+        old = self._row_pairs.get(len(new))
+        self._row_pairs[len(new)] = \
+            new if old is None or len(old) != len(new) \
+            else 0.7 * old + 0.3 * new
+
     def overflowed(self, metrics) -> bool:
         """True when this step's binning dropped pairs (buffers too small):
         the step trained on a truncated pair list and must be retried after
@@ -264,7 +301,8 @@ class Trainer:
                 p2, aux2, adam2, metrics = train_step_sharded(
                     self.params, self.aux, self.adam, view.camera,
                     self.gt_for(view), bg, self.lrs(), cfg, lcfg, self.mesh,
-                    dev_pair_capacity=self.dev_pair_capacity, **common)
+                    dev_pair_capacity=self.dev_pair_capacity,
+                    **self.band_kwargs(view.camera, cfg), **common)
             else:
                 p2, aux2, adam2, metrics = train_step(
                     self.params, self.aux, self.adam, view.camera,
@@ -292,6 +330,7 @@ class Trainer:
                   f"(pairs {int(metrics['num_pairs'])} > cap "
                   f"{self.pair_capacity}); trained truncated", flush=True)
         self.params, self.aux, self.adam = p2, aux2, adam2
+        self.note_row_pairs(metrics)
 
         if self.debug and reg_on and it % 200 == 0:
             self._dump_debug_mosaic(view, it)

@@ -47,6 +47,8 @@ def main():
                     help="force a jax platform (e.g. cpu) — the axon jaxlib "
                          "ignores JAX_PLATFORMS, so this goes through "
                          "jax.config like tests/conftest.py")
+    ap.add_argument("--no_resume", action="store_true",
+                    help="ignore an existing golden_ckpt.npz and restart")
     args = ap.parse_args()
 
     import jax
@@ -54,10 +56,15 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
+    import pickle
+    import random
+
     from gsjax.config import OptimizationParams
     from gsjax.data.readers import build_nearest_view_graph, load_scene
     from gsjax.data.synth import ring_pose, sphere_gaussians, write_rendered_colmap
     from gsjax.mesh.extract import extract_mesh_tsdf
+    from gsjax.model import appearance as app_lib
+    from gsjax.model.io import load_checkpoint, save_checkpoint
     from gsjax.train.loop import Trainer
     from gsjax.train.losses import psnr
 
@@ -84,9 +91,39 @@ def main():
     o.regularization_from_iter = args.iterations // 2
     o.position_lr_max_steps = args.iterations
 
-    model_path = os.path.join(tempfile.gettempdir(), "gsjax_golden_out")
+    # keyed by scene config so a smoke run and the real run never share a
+    # checkpoint
+    model_path = os.path.join(
+        tempfile.gettempdir(),
+        f"gsjax_golden_out_{args.width}x{args.height}"
+        f"_n{args.n_images}_g{args.n_gauss}_i{args.iterations}")
     os.makedirs(model_path, exist_ok=True)
     trainer = Trainer.create(scene, o, model_path, sh_degree=2)
+
+    # Periodic checkpoint + resume so the long (hours-on-CPU) run survives
+    # process restarts. RNG state rides in the checkpoint's `extra` dict
+    # (unknown keys are ignored by the appearance restore), making the
+    # resumed trajectory identical to an uninterrupted run.
+    ckpt_path = os.path.join(model_path, "golden_ckpt.npz")
+
+    def save_golden_ckpt():
+        extra = app_lib.state_to_arrays(trainer.app)
+        extra["rng_pystate"] = np.frombuffer(
+            pickle.dumps(random.getstate()), np.uint8)
+        extra["rng_key"] = np.asarray(trainer.key)
+        save_checkpoint(ckpt_path + ".tmp.npz", trainer.params, trainer.aux,
+                        trainer.adam, trainer.iteration, extra)
+        os.replace(ckpt_path + ".tmp.npz", ckpt_path)
+
+    if not args.no_resume and os.path.exists(ckpt_path):
+        p, a, ad, it, extra = load_checkpoint(ckpt_path)
+        trainer.params, trainer.aux, trainer.adam, trainer.iteration = p, a, ad, it
+        trainer.app = app_lib.state_from_arrays(trainer.app, extra)
+        if "rng_pystate" in extra:
+            random.setstate(pickle.loads(extra["rng_pystate"].tobytes()))
+        if "rng_key" in extra:
+            trainer.key = jnp.asarray(extra["rng_key"])
+        print(f"resumed from {ckpt_path} at iteration {it}", flush=True)
 
     log_every = max(args.iterations // 10, 1)
     while trainer.iteration < o.iterations:
@@ -94,6 +131,7 @@ def main():
         if trainer.iteration % log_every == 0:
             print(f"it {trainer.iteration}: loss={float(metrics['loss']):.4f} "
                   f"({time.time() - t_start:.0f}s)", flush=True)
+            save_golden_ckpt()
 
     # --- NVS: PSNR over the held-out views ----------------------------------
     vals = []

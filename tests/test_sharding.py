@@ -256,3 +256,71 @@ def test_run_training_sharded_cli_path(tmp_path):
     assert trainer.iteration == 8
     assert os.path.exists(os.path.join(
         lp.model_path, "point_cloud", "iteration_8", "point_cloud.ply"))
+
+
+def test_balance_band_bounds_properties():
+    """Host band chooser: coverage, monotonicity, the rows_per_max cap, and
+    a real balance win on centrally-clustered histograms."""
+    from gsjax.parallel import balance_band_bounds, equal_band_bounds
+
+    rng = np.random.default_rng(0)
+    for tiles_y, n, rpm in ((17, 8, 4), (64, 8, 16), (5, 8, 1), (40, 4, 20),
+                            (8, 8, 2)):
+        for _ in range(5):
+            hist = rng.integers(0, 1000, tiles_y).astype(np.float64)
+            b = balance_band_bounds(hist, n, rpm)
+            assert b[0] == 0 and b[-1] == tiles_y
+            assert np.all(np.diff(b) >= 0)
+            assert np.all(np.diff(b) <= rpm)
+
+    # heavy central clustering: balanced max-band pair share must clearly
+    # beat equal rows (which puts ~all pairs on the central devices)
+    tiles_y, n, rpm = 64, 8, 16
+    hist = 1000.0 * np.exp(-0.5 * ((np.arange(tiles_y) - 32) / 4.0) ** 2)
+    b = balance_band_bounds(hist, n, rpm)
+
+    def max_share(bounds):
+        return max(hist[bounds[d]:bounds[d + 1]].sum()
+                   for d in range(n)) / hist.sum()
+
+    # ideal balance is 1/n + one boundary row (~0.22 here); 0.6x equal-rows
+    # leaves slack for the quantile boundary rounding
+    assert max_share(b) < 0.6 * max_share(equal_band_bounds(tiles_y, n))
+
+
+def test_sharded_step_custom_bounds_parity():
+    """An arbitrary valid non-equal band partition (including empty bands)
+    yields the same step as single-device: the partition only moves work."""
+    cam, cfg, bg, params, aux, adam, gt, lrs = _setup(
+        width=64, height=256, require_depth=True)
+    lc = LossConfig(reg_on=True)
+
+    p1, aux1, adam1, m1 = train_step(params, aux, adam, cam, gt, bg, lrs,
+                                     cfg, lc)
+    mesh = make_mesh()
+    # tiles_y = 8 (tile=32): widths 2,1,0,1,1,1,1,1 — skewed + one empty band
+    bounds = np.array([0, 2, 3, 3, 4, 5, 6, 7, 8], np.int32)
+    p2, aux2, adam2, m2 = train_step_sharded(
+        params, aux, adam, cam, gt, bg, lrs, cfg, lc, mesh,
+        row_bounds=bounds, rows_per_max=2)
+    for k in ("loss", "l1", "ssim", "dn_loss"):
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                   rtol=2e-4, atol=2e-5), k
+    assert int(m2["num_pairs"]) == int(m1["num_pairs"])
+    # the psum'd per-row histogram must account for every pair exactly
+    assert int(np.asarray(m2["row_pairs"]).sum()) == int(m1["num_pairs"])
+    for l1, l2 in zip(jax.tree_util.tree_leaves(p1),
+                      jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(aux2.grad_accum),
+                               np.asarray(aux1.grad_accum),
+                               rtol=2e-3, atol=1e-7)
+
+    single = render_params(params, aux, cam, cfg, bg)
+    sharded = render_sharded(params, aux, cam, cfg, bg, mesh,
+                             row_bounds=bounds, rows_per_max=2)
+    np.testing.assert_allclose(np.asarray(sharded["color"]),
+                               np.asarray(single["render"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded["median_depth"]),
+                               np.asarray(single["median_depth"]), atol=1e-4)
