@@ -175,11 +175,13 @@ class Trainer:
     def sharded(self) -> bool:
         return self.mesh is not None and self.mesh.devices.size > 1
 
-    def band_kwargs(self, camera, cfg) -> dict:
+    def band_kwargs(self, camera, cfg, uid=None) -> dict:
         """row_bounds/rows_per_max for the sharded step: equal-pair bands
-        re-chosen each step from the previous step's per-row pair histogram
-        (traced inputs — rebalancing never recompiles; one program per
-        (tiles_y, rows_per_max))."""
+        re-chosen each step from per-row pair histograms (traced inputs —
+        rebalancing never recompiles; one program per (tiles_y,
+        rows_per_max)). A view's own histogram from its last visit is used
+        when available (near-exact balance; the model drifts slowly between
+        visits); otherwise the scene-level EMA; otherwise equal rows."""
         if not (self.sharded and self.band_balance):
             return {}
         from gsjax.parallel import balance_band_bounds, equal_band_bounds
@@ -188,17 +190,20 @@ class Trainer:
         rows_per = -(-tiles_y // n)
         rpm = min(tiles_y,
                   max(rows_per, int(np.ceil(self.band_rows_factor * rows_per))))
-        hist = self._row_pairs.get(tiles_y)
+        hist = self._row_pairs.get((uid, tiles_y),
+                                   self._row_pairs.get(tiles_y))
         bounds = equal_band_bounds(tiles_y, n) if hist is None \
             else balance_band_bounds(hist, n, rpm)
         return dict(row_bounds=bounds, rows_per_max=rpm)
 
-    def note_row_pairs(self, metrics):
-        """Fold this step's per-row pair histogram into the EMA that drives
-        the next step's band boundaries."""
+    def note_row_pairs(self, metrics, uid=None):
+        """Record this step's per-row pair histogram: exact per-view (keyed
+        (uid, tiles_y)) plus a scene-level EMA fallback for unvisited views."""
         if "row_pairs" not in metrics:
             return
         new = np.asarray(metrics["row_pairs"], np.float64)
+        if uid is not None:
+            self._row_pairs[(uid, len(new))] = new
         old = self._row_pairs.get(len(new))
         self._row_pairs[len(new)] = \
             new if old is None or len(old) != len(new) \
@@ -302,7 +307,7 @@ class Trainer:
                     self.params, self.aux, self.adam, view.camera,
                     self.gt_for(view), bg, self.lrs(), cfg, lcfg, self.mesh,
                     dev_pair_capacity=self.dev_pair_capacity,
-                    **self.band_kwargs(view.camera, cfg), **common)
+                    **self.band_kwargs(view.camera, cfg, view.uid), **common)
             else:
                 p2, aux2, adam2, metrics = train_step(
                     self.params, self.aux, self.adam, view.camera,
@@ -330,7 +335,7 @@ class Trainer:
                   f"(pairs {int(metrics['num_pairs'])} > cap "
                   f"{self.pair_capacity}); trained truncated", flush=True)
         self.params, self.aux, self.adam = p2, aux2, adam2
-        self.note_row_pairs(metrics)
+        self.note_row_pairs(metrics, view.uid)
 
         if self.debug and reg_on and it % 200 == 0:
             self._dump_debug_mosaic(view, it)

@@ -324,3 +324,39 @@ def test_sharded_step_custom_bounds_parity():
                                np.asarray(single["render"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(sharded["median_depth"]),
                                np.asarray(single["median_depth"]), atol=1e-4)
+
+
+def test_trainer_band_kwargs_unit():
+    """Host-side band bookkeeping: equal bounds before any histogram,
+    per-view exact histograms, scene-EMA fallback, kill-switch."""
+    from types import SimpleNamespace
+
+    from gsjax.ops.raster.config import RasterConfig
+    from gsjax.train.loop import Trainer
+
+    t = Trainer(scene=None, params=None, aux=None, adam=None, app=None,
+                opt=None, model_path="")
+    t.mesh = SimpleNamespace(devices=SimpleNamespace(size=8))
+    t.band_balance = True
+    cfg = RasterConfig()
+    cam = SimpleNamespace(width=2 * cfg.tile, height=64 * cfg.tile)
+
+    kw = t.band_kwargs(cam, cfg, uid=3)          # no histogram -> equal rows
+    b0 = np.asarray(kw["row_bounds"])
+    assert b0[0] == 0 and b0[-1] == 64 and np.all(np.diff(b0) >= 0)
+
+    hist = np.zeros(64)
+    hist[30:34] = 100.0                          # central cluster
+    t.note_row_pairs({"row_pairs": hist}, uid=3)
+    kw2 = t.band_kwargs(cam, cfg, uid=3)
+    b = np.asarray(kw2["row_bounds"])
+    assert not np.array_equal(b, b0)
+    assert np.all(np.diff(b) <= kw2["rows_per_max"])
+    assert b[0] == 0 and b[-1] == 64
+
+    # unseen uid falls back to the scene EMA (same single histogram here)
+    assert np.array_equal(
+        np.asarray(t.band_kwargs(cam, cfg, uid=99)["row_bounds"]), b)
+
+    t.band_balance = False
+    assert t.band_kwargs(cam, cfg, uid=3) == {}
