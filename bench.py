@@ -89,18 +89,21 @@ def main():
         return loss, grads
 
     args = args + (gt, bg)
-    # warmup / compile
+    # warmup / compile. NOTE: jax.block_until_ready is a NO-OP on the axon
+    # relay (observed 2026-08-18: sub-ms "timings" for ~300ms programs — the
+    # future resolves at enqueue). float(loss) is the only reliable fence:
+    # executions serialize on the device stream, so fetching the last loss
+    # scalar bounds every enqueued iteration.
     t0 = time.perf_counter()
     loss, grads = fwd_bwd(*args)
-    jax.block_until_ready((loss, grads))
-    watchdog.cancel()
     print(f"warmup {time.perf_counter() - t0:.1f}s loss={float(loss):.4f}",
           file=sys.stderr)
+    watchdog.cancel()
 
     t0 = time.perf_counter()
     for _ in range(iters):
         loss, grads = fwd_bwd(*args)
-    jax.block_until_ready((loss, grads))
+    _ = float(loss)  # host fetch = the fence
     dt = time.perf_counter() - t0
     print(f"timed {iters} iters in {dt:.3f}s loss={float(loss):.4f}",
           file=sys.stderr)

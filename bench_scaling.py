@@ -143,14 +143,20 @@ def main():
                 params, aux, adam, cam, gt, bg, lrs, cfg, lc, mesh,
                 dev_pair_capacity=dev_cap, **band_kw)
             per_round = 1
+        # fence with a host scalar fetch: block_until_ready is a NO-OP on
+        # the axon relay (resolves at enqueue; observed 2026-08-18)
+        def sync(o):
+            return np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[:1]
+
         t0 = time.perf_counter()
         out = step()
-        jax.block_until_ready(out)
+        sync(out)
         warm = time.perf_counter() - t0
+        sync(step())
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step()
-        jax.block_until_ready(out)
+        sync(out)
         dt = (time.perf_counter() - t0) / iters
         rays = width * height * per_round / dt
         rows.append({"devices": nd, "iter_s": round(dt, 4),

@@ -99,18 +99,29 @@ def main():
         ("fusedkey_quad2", dict(fused=True, quad=2)),
         ("fusedkey_quad3", dict(fused=True, quad=3)),
     ]
+    # Sync protocol: jax.block_until_ready is a NO-OP on the axon relay
+    # (observed 2026-08-18: 0.1-0.5 "ms"/iter for a ~300ms program — the
+    # client-side future resolves at enqueue, not completion). Executions on
+    # one device stream still serialize, so fetching the final loss scalar to
+    # host bounds every enqueued iteration; that fetch is the only reliable
+    # fence. The ~1ms host round-trip is amortized over the iters.
+    def sync(out):
+        return float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+
     for name, knobs in configs:
         binning_mod._FUSED_SORT_KEY = knobs["fused"]
         rp._QUAD_MXU = knobs["quad"]
         fn = make_fn(args.fwd_only)
         t0 = time.perf_counter()
         out = fn(*dev_args, gt, bg)
-        jax.block_until_ready(out)
+        sync(out)
         compile_s = time.perf_counter() - t0
+        # un-timed settle iter, then timed block fenced by a host fetch
+        sync(fn(*dev_args, gt, bg))
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = fn(*dev_args, gt, bg)
-        jax.block_until_ready(out)
+        sync(out)
         dt = (time.perf_counter() - t0) / args.iters
         mrays = width * height / dt / 1e6
         results[name] = {"iter_ms": round(dt * 1e3, 2),

@@ -36,15 +36,22 @@ bg = jnp.zeros(3)
 gt = jnp.asarray(rng.uniform(0, 1, (height, width, 3)).astype(np.float32))
 
 
+def _sync(o):
+    # block_until_ready is a NO-OP on the axon relay (resolves at enqueue;
+    # observed 2026-08-18): fence with a host scalar fetch instead
+    return np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[:1]
+
+
 def time_fn(f, *a, label=""):
     t0 = time.perf_counter()
     out = f(*a)
-    jax.block_until_ready(out)
+    _sync(out)
     print(f"{label} compile+1st: {time.perf_counter()-t0:.2f}s")
+    _sync(f(*a))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*a)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{label}: {dt*1e3:.1f} ms/it = {width*height/dt/1e6:.2f} Mrays/s")
     return out

@@ -61,27 +61,32 @@ def main():
 
     grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
 
+    # block_until_ready is a NO-OP on the axon relay (resolves at
+    # enqueue; observed 2026-08-18): fence with a host scalar fetch
+    def _sync(o):
+        return np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[:1]
+
     t0 = time.perf_counter()
     out = fwd(*args)
-    out.block_until_ready()
+    _sync(out)
     print(f"fwd compile+run: {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
     iters = 5
     for _ in range(iters):
         out = fwd(*args)
-    out.block_until_ready()
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"fwd: {dt*1e3:.1f} ms  ({q/dt/1e6:.2f} Mpts/s)")
 
     if os.environ.get("BGRAD", "1") == "1":
         t0 = time.perf_counter()
         g = grad(*args)
-        jax.block_until_ready(g)
+        _sync(g)
         print(f"grad compile+run: {time.perf_counter()-t0:.1f}s")
         t0 = time.perf_counter()
         for _ in range(iters):
             g = grad(*args)
-        jax.block_until_ready(g)
+        _sync(g)
         dt = (time.perf_counter() - t0) / iters
         print(f"fwd+bwd: {dt*1e3:.1f} ms  ({q/dt/1e6:.2f} Mpts/s)")
 

@@ -67,10 +67,16 @@ _ = jax.block_until_ready(full_bwd(feats_t, tile_ids, starts, counts, cam_params
 
 
 def tf(f, *a, label=""):
+    # fence with a host scalar fetch: block_until_ready is a NO-OP on the
+    # axon relay (resolves at enqueue; observed 2026-08-18)
+    def sync(o):
+        return np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[0]
+
+    sync(f(*a))
     t0 = time.perf_counter()
     for _ in range(iters):
         o = f(*a)
-    jax.block_until_ready(o)
+    sync(o)
     print(f"{label}: {(time.perf_counter()-t0)/iters*1e3:.1f} ms")
 
 
