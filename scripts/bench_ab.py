@@ -93,24 +93,25 @@ def main():
         return jax.jit(fwd_bwd)
 
     results = {}
+    # round-3 ladder: bisect vs Newton median root finder (both include the
+    # structural saved-d_denom backward; the round-2 baseline for "bisect"
+    # comparisons is BENCH_r02's 333 ms which also paid the backward
+    # d_denom re-traversal)
     configs = [
-        ("base_2key_vpu", dict(fused=False, quad=0)),
-        ("fusedkey_vpu", dict(fused=True, quad=0)),
-        ("fusedkey_quad2", dict(fused=True, quad=2)),
-        ("fusedkey_quad3", dict(fused=True, quad=3)),
+        ("median_bisect", dict(fused=True, quad=0, median="bisect")),
+        ("median_newton", dict(fused=True, quad=0, median="newton")),
     ]
     # Sync protocol: jax.block_until_ready is a NO-OP on the axon relay
-    # (observed 2026-08-18: 0.1-0.5 "ms"/iter for a ~300ms program — the
-    # client-side future resolves at enqueue, not completion). Executions on
-    # one device stream still serialize, so fetching the final loss scalar to
-    # host bounds every enqueued iteration; that fetch is the only reliable
-    # fence. The ~1ms host round-trip is amortized over the iters.
-    def sync(out):
-        return float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    # (observed 2026-08-18) — fence with a device-side scalar index + 4-byte
+    # host fetch (gsjax.utils.benchsync; fixes ADVICE r2: the old full-leaf
+    # np.asarray dragged the whole ~24MB render through the relay in
+    # --fwd_only mode, inside both the compile and timed windows).
+    from gsjax.utils.benchsync import sync
 
     for name, knobs in configs:
         binning_mod._FUSED_SORT_KEY = knobs["fused"]
         rp._QUAD_MXU = knobs["quad"]
+        rp._MEDIAN_IMPL = knobs.get("median", "newton")
         fn = make_fn(args.fwd_only)
         t0 = time.perf_counter()
         out = fn(*dev_args, gt, bg)

@@ -47,31 +47,31 @@ def stage1(*a):
             binning.tile_count)
 
 
-feats_t, starts, counts = jax.block_until_ready(stage1(*args))
+from gsjax.utils.benchsync import sync  # device-scalar fence (ADVICE r2)
+
+feats_t, starts, counts = stage1(*args)
+sync(feats_t)
 
 # device arrays go in as ARGUMENTS — closure constants are re-fetched
 # host-side at lowering over the slow relay (see losses._gaussian_window)
 tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
 fwd = jax.jit(lambda ft, ti, st, ct, cp: render_pallas._fwd_call(
     ft, ti, st, ct, cp, cfg, tiles_x, n_tiles, False))
-out = jax.block_until_ready(fwd(feats_t, tile_ids, starts, counts, cam_params))
+out = fwd(feats_t, tile_ids, starts, counts, cam_params)
+sync(out)
 
 g_out = jnp.ones_like(out)
 bwdk = jax.jit(lambda ft, ti, st, ct, cp, o, g: render_pallas._bwd_call(
     ft, ti, st, ct, cp, o, g, cfg, tiles_x, n_tiles, False))
-d_blocks = jax.block_until_ready(bwdk(feats_t, tile_ids, starts, counts, cam_params, out, g_out))
+d_blocks = bwdk(feats_t, tile_ids, starts, counts, cam_params, out, g_out)
+sync(d_blocks)
 
 full_bwd = jax.jit(lambda ft, ti, st, ct, cp, o, g: render_pallas._blend_bwd(
     cfg, tiles_x, n_tiles, False, (ft, ti, st, ct, cp, o), g)[0])
-_ = jax.block_until_ready(full_bwd(feats_t, tile_ids, starts, counts, cam_params, out, g_out))
+sync(full_bwd(feats_t, tile_ids, starts, counts, cam_params, out, g_out))
 
 
 def tf(f, *a, label=""):
-    # fence with a host scalar fetch: block_until_ready is a NO-OP on the
-    # axon relay (resolves at enqueue; observed 2026-08-18)
-    def sync(o):
-        return np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[0]
-
     sync(f(*a))
     t0 = time.perf_counter()
     for _ in range(iters):
