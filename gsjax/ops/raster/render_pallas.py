@@ -31,7 +31,9 @@ window is statically lane-aligned and backward tile blocks are disjoint.
 
 Forward output is [T, 16, P] rows: 0-2 color, 3-5 normal, 6 alpha,
 7 median z-depth, 8 n_contrib, 9 md_init, 10 T_final, 11 in_range,
-12-15 zero (9-11 are backward residuals).
+12 dlogT/dt at the median root (the backward's implicit-function
+denominator, saved by the forward's final root evaluation), 13-15 zero
+(9-12 are backward residuals).
 """
 
 from __future__ import annotations
@@ -137,6 +139,16 @@ def _pixel_rows(t, tiles_x, cfg: RasterConfig):
 
 
 _QUAD_MXU = int(_os.environ.get("GSJAX_QUAD_MXU", "0") or 0)
+
+# Median-depth root finder: "newton" (safeguarded Newton, default after the
+# 2026-08-19 A/B) or "bisect" (the reference-equivalent 3*split_iterations-bit
+# bisection, render_forward.cu:535-645). Both solve T(t*)=0.5 on the same
+# bracket; newton converges past bisect's resolution in fewer evaluations.
+_MEDIAN_IMPL = _os.environ.get("GSJAX_MEDIAN_IMPL", "newton")
+_NEWTON_ITERS = int(_os.environ.get("GSJAX_MEDIAN_NEWTON_ITERS", "7") or 7)
+# Backward: skip the per-chunk median-model math when every applied gaussian
+# of the chunk sits >= 5 sigma from the root (cheap constant-term path).
+_BWD_MEDIAN_SKIP = _os.environ.get("GSJAX_BWD_MEDIAN_SKIP", "1") not in ("0", "")
 
 
 def _quad_basis(t, tiles_x, cfg: RasterConfig):
@@ -251,71 +263,103 @@ def _median_model(ch: _Chunk, a, ts):
 
 
 def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
-                   flags, cache, cfg: RasterConfig, basis=None):
-    """Binary-search T(t*)=0.5 (render_forward.cu:535-645 at equal
-    resolution). Returns (m_t ray-distance median, in_range [1,P]).
+                   flags, cache, cfg: RasterConfig, basis=None,
+                   cached_n=None):
+    """Root-find T(t*)=0.5 (render_forward.cu:535-645). Returns
+    (m_t ray-distance median, in_range [1,P], dlogT/dt at the root).
 
-    Varying-chunk culling + caching: one prepass classifies every chunk
-    against the per-pixel search bracket. A gaussian fully behind the bracket
+    Varying-chunk culling + caching: chunks are classified against the
+    per-pixel search bracket. A gaussian fully behind the bracket
     (t_peak + 5 sigma < d_min) contributes the constant log1p(-a); fully
     ahead contributes ~0. Error bound of the 5-sigma cut: a culled gaussian
     misattributes at most a*exp(-12.5) ~ 3.7e-6*a of CDF mass, so with up to
     max_per_tile (4096) pairs the accumulated |d log T| <= ~1.5e-2*mean(a) —
     up to ~1% in T near the pair cap, slightly shifting the T=0.5 root vs the
     ref path; widen to 6 sigma if median-depth parity tolerance is ever
-    tightened. Chunks whose CDF varies over the bracket have their
-    (alpha, t_peak, rsig, log1p(-alpha)) planes cached in VMEM — the 17
-    bisection evaluations are then pure VPU math over the few cached chunks.
-    `flags[c]`: 0 = constant, 1 = varying (recompute), slot+2 = cached."""
+    tightened.
+
+    Chunk planes (alpha, t_peak, rsig, log1p(-alpha)) are cached in VMEM BY
+    THE MAIN BLEND MARCH (the chunk is already constructed there; profiled
+    2026-08-19: a separate classification prepass re-constructing every
+    chunk was ~43 ms of the 97 ms forward). `cached_n` = number of leading
+    chunks with cache entries; classification runs on the cached planes
+    (zeroing culled elements in place) and only chunks beyond the cache
+    capacity are re-constructed. `flags[c]`: 0 = constant, 1 = varying
+    (recompute per evaluation), c+2 = cached."""
     zero = jnp.zeros_like(md_init)
     max_contrib = jnp.max(n_contrib)
     nc_chunks = (max_contrib + G - 1) // G
     d_min = jnp.maximum(md_init - cfg.sample_range, 0.0)
     d_max = jnp.maximum(md_init + cfg.sample_range, 0.0)
-    n_slots = cache.shape[0]
+    if cached_n is None:
+        cached_n = jnp.int32(0)
 
-    def pre_body(c, carry):
-        lf_const, used = carry
-        ch = _Chunk(buf, c, px, py, eye, basis)
-        rel = _rel_ids(c)
-        a, _, passes = ch.alpha(cfg, rel, count)
-        applied = passes & (rel < n_contrib)
-        a = jnp.where(applied, a, 0.0)
-        rsig = ch.col(12)
-        margin = jnp.where(rsig > 0, 5.0 / jnp.where(rsig > 0, rsig, 1.0), 0.0)
-        behind_all = applied & (ch.t_val + margin < d_min)
-        ahead_all = ch.t_val - margin > d_max
-        varying = applied & ~behind_all & ~ahead_all
-        any_var = jnp.any(varying)
-        cacheable = any_var & (used < n_slots)
-        slot = jnp.where(cacheable, used, 0)
+    def pre_body(c, lf_const):
+        use_cache = c < cached_n
 
-        @pl.when(cacheable)
+        def from_cache(_):
+            # march-time cache: am is masked by `applied` (== the median's
+            # passes & rel<n_contrib mask: n_contrib-1 is the last applied
+            # index and keep is a monotone prefix); plane 3 (log1p) is
+            # computed here, once, not in the march loop
+            am = cache[c, 0]
+            tv = cache[c, 1]
+            rs = cache[c, 2]
+            l1m = jnp.log1p(-am)
+            active = am > 0
+            margin = jnp.where(rs > 0, 5.0 / jnp.where(rs > 0, rs, 1.0), 0.0)
+            behind_all = active & (tv + margin < d_min)
+            ahead_all = tv - margin > d_max
+            varying = active & ~behind_all & ~ahead_all
+            flag = jnp.where(jnp.any(varying), c + 2, 0)
+            lfc = jnp.sum(jnp.where(behind_all, l1m, 0.0),
+                          axis=0, keepdims=True)
+            # culled elements are zeroed (written below) so the cached
+            # evaluation path walks only the varying ones
+            return (lfc, flag, jnp.where(varying, am, 0.0),
+                    jnp.where(varying, l1m, 0.0))
+
+        def reconstruct(_):
+            ch = _Chunk(buf, c, px, py, eye, basis)
+            rel = _rel_ids(c)
+            a, _, passes = ch.alpha(cfg, rel, count)
+            applied = passes & (rel < n_contrib)
+            a = jnp.where(applied, a, 0.0)
+            rsig = ch.col(12)
+            margin = jnp.where(rsig > 0,
+                               5.0 / jnp.where(rsig > 0, rsig, 1.0), 0.0)
+            behind_all = applied & (ch.t_val + margin < d_min)
+            ahead_all = ch.t_val - margin > d_max
+            varying = applied & ~behind_all & ~ahead_all
+            flag = jnp.where(jnp.any(varying), 1, 0)
+            lfc = jnp.sum(jnp.where(behind_all, jnp.log1p(-a), 0.0),
+                          axis=0, keepdims=True)
+            z = jnp.zeros_like(a)
+            return (lfc, flag, z, z)
+
+        lfc, flag, amv, l1mv = jax.lax.cond(use_cache, from_cache,
+                                            reconstruct, 0)
+        flags[c] = flag
+
+        @pl.when(use_cache)
         def _():
-            am = jnp.where(varying, a, 0.0)
-            cache[slot, 0] = am
-            cache[slot, 1] = jnp.broadcast_to(ch.t_val, am.shape)
-            cache[slot, 2] = jnp.broadcast_to(rsig, am.shape)
-            cache[slot, 3] = jnp.log1p(-am)
+            cache[c, 0] = amv
+            cache[c, 3] = l1mv
 
-        flags[c] = jnp.where(any_var, jnp.where(cacheable, slot + 2, 1), 0)
-        # varying-but-uncached chunks are evaluated in full, so only cached /
-        # constant chunks bank their behind contribution here... both paths
-        # need behind_all in lf_const (the cached planes exclude them).
-        lf_const = lf_const + jnp.sum(
-            jnp.where(behind_all, jnp.log1p(-a), 0.0), axis=0, keepdims=True)
-        return (lf_const, used + cacheable.astype(jnp.int32))
+        return lf_const + lfc
 
-    lf_const, _ = jax.lax.fori_loop(0, nc_chunks, pre_body, (zero, jnp.int32(0)))
+    lf_const = jax.lax.fori_loop(0, nc_chunks, pre_body, zero)
 
-    def eval_t(ts):
-        def body(c, log_tp):
+    def eval_t(ts, want_d=False):
+        """log T(ts) [1,P]; with want_d also d(log T)/dt for Newton."""
+        def body(c, carry):
             flag = flags[c]
 
-            def skip(log_tp):
-                return log_tp
+            def skip(carry):
+                return carry
 
-            def recompute(log_tp):
+            def recompute(carry):
+                log_tp, d_tp = carry
                 ch = _Chunk(buf, c, px, py, eye, basis)
                 rel = _rel_ids(c)
                 a, _, passes = ch.alpha(cfg, rel, count)
@@ -325,11 +369,19 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
                 margin = jnp.where(rsig > 0,
                                    5.0 / jnp.where(rsig > 0, rsig, 1.0), 0.0)
                 behind_all = ch.t_val + margin < d_min
-                lf, *_ = _median_model(ch, a, ts)
-                lf = jnp.where(applied & ~behind_all, lf, 0.0)
-                return log_tp + jnp.sum(lf, axis=0, keepdims=True)
+                lf, hg, om, behind, delta, rsig = _median_model(ch, a, ts)
+                mask = applied & ~behind_all
+                lf = jnp.where(mask, lf, 0.0)
+                log_tp = log_tp + jnp.sum(lf, axis=0, keepdims=True)
+                if want_d:
+                    sgn = jnp.where(behind, 1.0, -1.0)
+                    dlf = sgn * 0.5 * (a / om) * (-hg * delta * rsig)
+                    d_tp = d_tp + jnp.sum(jnp.where(mask, dlf, 0.0),
+                                          axis=0, keepdims=True)
+                return (log_tp, d_tp)
 
-            def cached(log_tp):
+            def cached(carry):
+                log_tp, d_tp = carry
                 slot = flag - 2
                 am = cache[slot, 0]
                 tv = cache[slot, 1]
@@ -338,35 +390,85 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
                 delta = (ts - tv) * rs
                 hg = jnp.where(rs > 0, jnp.exp(-0.5 * delta * delta), 0.0)
                 om = jnp.maximum(1.0 - am * hg, 1e-12)
-                lf = jnp.where(ts > tv, l1m - 0.5 * jnp.log(om),
+                behind = ts > tv
+                lf = jnp.where(behind, l1m - 0.5 * jnp.log(om),
                                0.5 * jnp.log(om))
-                return log_tp + jnp.sum(lf, axis=0, keepdims=True)
+                log_tp = log_tp + jnp.sum(lf, axis=0, keepdims=True)
+                if want_d:
+                    sgn = jnp.where(behind, 1.0, -1.0)
+                    dlf = sgn * 0.5 * (am / om) * (-hg * delta * rs)
+                    d_tp = d_tp + jnp.sum(dlf, axis=0, keepdims=True)
+                return (log_tp, d_tp)
 
             return jax.lax.switch(jnp.minimum(flag, 2),
-                                  [skip, recompute, cached], log_tp)
-        return jnp.exp(lf_const +
-                       jax.lax.fori_loop(0, nc_chunks, body, zero))
+                                  [skip, recompute, cached], carry)
 
-    t_lo = eval_t(d_min)
-    t_hi = eval_t(d_max)
+        lt, dt = jax.lax.fori_loop(0, nc_chunks, body, (zero, zero))
+        return lf_const + lt, dt
+
+    l_lo, _ = eval_t(d_min)
+    l_hi, _ = eval_t(d_max)
+    t_lo, t_hi = jnp.exp(l_lo), jnp.exp(l_hi)
     in_range = (t_final <= cfg.min_transmittance) & (t_lo >= 0.5) & (t_hi <= 0.5)
 
-    def bisect(_, carry):
-        d_min, d_max, t_lo, t_hi = carry
-        mid = 0.5 * (d_min + d_max)
-        t_mid = eval_t(mid)
-        right = t_mid >= 0.5
-        return (jnp.where(right, mid, d_min), jnp.where(right, d_max, mid),
-                jnp.where(right, t_mid, t_lo), jnp.where(right, t_hi, t_mid))
+    if _MEDIAN_IMPL == "newton":
+        # Safeguarded Newton on f(t) = log T(t) - log(1/2): T is smooth and
+        # monotone decreasing over the bracket, so Newton from the bracket
+        # midpoint converges quadratically; steps that leave the current
+        # bracket (or hit a flat spot, where the implicit-function backward
+        # is zeroed anyway) fall back to bisection. Profiled 2026-08-19:
+        # the 17 bisection evaluations were ~64 ms of the 97 ms forward at
+        # 1080p; Newton reaches far below the bisection's 2^-15 resolution
+        # in _NEWTON_ITERS evaluations (each ~1.3x for the derivative).
+        log_half = float(np.log(0.5))
 
-    n_bits = 3 * cfg.split_iterations
-    d_min, d_max, t_lo, t_hi = jax.lax.fori_loop(
-        0, n_bits, bisect, (d_min, d_max, t_lo, t_hi))
+        def newton(_, carry):
+            lo, hi, tl, th, t = carry
+            l, dl = eval_t(t, want_d=True)
+            tv = jnp.exp(l)
+            right = tv >= 0.5                 # root is at t or to the right
+            lo2 = jnp.where(right, t, lo)
+            tl2 = jnp.where(right, tv, tl)
+            hi2 = jnp.where(right, hi, t)
+            th2 = jnp.where(right, th, tv)
+            ok = dl < -1e-20
+            t_n = t - (l - log_half) / jnp.where(ok, dl, -1.0)
+            inside = ok & (t_n > lo2) & (t_n < hi2)
+            t2 = jnp.where(inside, t_n, 0.5 * (lo2 + hi2))
+            return (lo2, hi2, tl2, th2, t2)
+
+        d_min, d_max, t_lo, t_hi, _ = jax.lax.fori_loop(
+            0, _NEWTON_ITERS, newton,
+            (d_min, d_max, t_lo, t_hi, 0.5 * (d_min + d_max)))
+    else:
+        def bisect(_, carry):
+            d_min, d_max, t_lo, t_hi = carry
+            mid = 0.5 * (d_min + d_max)
+            l_mid, _ = eval_t(mid)
+            t_mid = jnp.exp(l_mid)
+            right = t_mid >= 0.5
+            return (jnp.where(right, mid, d_min),
+                    jnp.where(right, d_max, mid),
+                    jnp.where(right, t_mid, t_lo),
+                    jnp.where(right, t_hi, t_mid))
+
+        n_bits = 3 * cfg.split_iterations
+        d_min, d_max, t_lo, t_hi = jax.lax.fori_loop(
+            0, n_bits, bisect, (d_min, d_max, t_lo, t_hi))
     denom = t_lo - t_hi
     w = jnp.clip((t_lo - 0.5) / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20),
                  0.0, 1.0)
-    m_t = jnp.where(in_range, w * d_max + (1.0 - w) * d_min, 0.0)
-    return m_t, in_range
+    t_star = w * d_max + (1.0 - w) * d_min
+    # dlogT/dt at the root: the backward's implicit-function denominator
+    # (render_backward.cu:835-880). One extra evaluation here deletes the
+    # backward's full d_denom chunk re-traversal (it reads row 12 instead) —
+    # and doubles as a free final Newton refinement of the root.
+    l_star, d_denom = eval_t(t_star, want_d=True)
+    ok = d_denom < -1e-20
+    t_ref = t_star - (l_star - float(np.log(0.5))) / jnp.where(ok, d_denom, -1.0)
+    t_star = jnp.where(ok & (t_ref > d_min) & (t_ref < d_max), t_ref, t_star)
+    m_t = jnp.where(in_range, t_star, 0.0)
+    return m_t, in_range, jnp.where(in_range, d_denom, 0.0)
 
 
 def _ray_to_z(px, py, fx, fy, width, height):
@@ -417,6 +519,8 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
     n_chunks = (count + G - 1) // G
     tmin = _f32(cfg.transmittance_min)
 
+    n_slots = cache.shape[0]
+
     def body(carry):
         # multiplicative transmittance recurrence (render_forward.cu:498-516):
         # `keep` is monotone along the chunk (T only shrinks), so the carry
@@ -434,6 +538,23 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
             [ch.cols[:, 6:9], ch.cols[:, 13:16]], axis=1)   # [G, 6]
         acc = acc + _dot(cn, w, ((0,), (0,)))                # [6, P]
         applied = passes & keep
+        if cfg.require_depth:
+            # bank this chunk's median-model planes while it is constructed —
+            # the median search classifies/evaluates from VMEM instead of
+            # re-constructing every chunk (see _median_search docstring);
+            # log1p(-am) is deferred to the one-shot classification pass to
+            # keep transcendentals out of this loop. The conditional is
+            # static when the cache covers every possible chunk.
+            def bank():
+                am = jnp.where(applied, a, 0.0)
+                cache[c, 0] = am
+                cache[c, 1] = jnp.broadcast_to(ch.t_val, am.shape)
+                cache[c, 2] = jnp.broadcast_to(ch.col(12), am.shape)
+
+            if cfg.max_per_tile // G <= n_slots:
+                bank()
+            else:
+                pl.when(c < n_slots)(bank)
         cond = applied & (t_prev > 0.5)
         best = jnp.max(jnp.where(cond, rel, -1), axis=0, keepdims=True)
         md_new = jnp.max(jnp.where(rel == best, ch.t_val, -jnp.inf), axis=0,
@@ -452,7 +573,8 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
     row0 = jnp.zeros((1, p), _f32)
     init = (jnp.int32(0), jnp.ones((1, p), _f32), jnp.zeros((6, p), _f32),
             jnp.full((1, p), -1, jnp.int32), row0)
-    _, t_final, acc, last_idx, md_init = jax.lax.while_loop(cond_fn, body, init)
+    c_end, t_final, acc, last_idx, md_init = jax.lax.while_loop(
+        cond_fn, body, init)
     inv_om = 1.0 / jnp.maximum(1.0 - t_final, 1e-12)
     has = last_idx >= 0
     n_contrib = last_idx + 1
@@ -465,18 +587,20 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
     out_ref[0, 8:9, :] = n_contrib.astype(_f32)
     out_ref[0, 9:10, :] = md_init
     out_ref[0, 10:11, :] = t_final
-    out_ref[0, 12:16, :] = jnp.zeros((4, p), _f32)
+    out_ref[0, 13:16, :] = jnp.zeros((3, p), _f32)
 
     if cfg.require_depth:
-        m_t, in_range = _median_search(buf, px, py, eye, n_contrib, count,
-                                       t_final, md_init, flags, cache, cfg,
-                                       basis)
+        m_t, in_range, d_denom = _median_search(
+            buf, px, py, eye, n_contrib, count, t_final, md_init,
+            flags, cache, cfg, basis, cached_n=jnp.minimum(c_end, n_slots))
         rln = _ray_to_z(px, py, fx, fy, width, height)
         out_ref[0, 7:8, :] = m_t * rln
         out_ref[0, 11:12, :] = in_range.astype(_f32)
+        out_ref[0, 12:13, :] = d_denom
     else:
         out_ref[0, 7:8, :] = row0
         out_ref[0, 11:12, :] = row0
+        out_ref[0, 12:13, :] = row0
 
 
 def _fwd_call(feats_t, tile_ids, starts, counts, cam_params,
@@ -493,7 +617,11 @@ def _fwd_call(feats_t, tile_ids, starts, counts, cam_params,
             pltpu.VMEM((2, _F, cfg.max_per_tile), _f32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((cfg.max_per_tile // G,), jnp.int32),
-            pltpu.VMEM((8, 4, G, cfg.pixels_per_tile), _f32),
+            # median-model chunk cache, filled by the blend march (slot =
+            # chunk index); 16 slots x 4 planes x [G, P] f32 = 32 MB VMEM
+            # covers every chunk at max_per_tile 2048
+            pltpu.VMEM((min(16, cfg.max_per_tile // G), 4, G,
+                        cfg.pixels_per_tile), _f32),
         ],
     )
     kernel = partial(_fwd_kernel, cfg=cfg, tiles_x=tiles_x, n_tiles=n_tiles)
@@ -580,36 +708,21 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
 
     n_chunks = (count + G - 1) // G
 
-    # --- median-depth: dL/dm_t and the implicit-function denominator --------
+    # --- median-depth: dL/dm_t over the saved implicit-function denominator.
+    # The forward stores dlogT/dt at the root in row 12 (the last Newton
+    # evaluation computes it anyway), so the d_denom chunk re-traversal that
+    # used to live here is gone.
     if cfg.require_depth:
         in_range = res[11:12, :]
         rln = _ray_to_z(px, py, fx, fy, width, height)
         m_t = res[7:8, :] / rln
         gm = g[7:8, :] * rln * in_range             # dL/dm_t
-        max_contrib = jnp.max(n_contrib)
-        nc_chunks = (max_contrib + G - 1) // G
-
-        def d_body(c, acc_d):
-            ch = _Chunk(buf, c, px, py, eye, basis)
-            rel = _rel_ids(c)
-            a, _, passes = ch.alpha(cfg, rel, count)
-            applied = passes & (rel < n_contrib)
-            a = jnp.where(applied, a, 0.0)
-            _, hg, om, behind, delta, rsig = _median_model(ch, a, m_t)
-            sgn = jnp.where(behind, 1.0, -1.0)
-            # d lf/dt = sgn * 0.5*a/om * dg/dt,  dg/dt = -hg*delta*rsig
-            d_t = sgn * 0.5 * (a / om) * (-hg * delta * rsig)
-            return acc_d + jnp.sum(jnp.where(applied, d_t, 0.0), axis=0,
-                                   keepdims=True)
-
-        d_denom = jax.lax.fori_loop(0, nc_chunks, d_body,
-                                    jnp.zeros((1, p), _f32))
+        d_denom = res[12:13, :]
         s_pix = jnp.where(jnp.abs(d_denom) > 1e-20, -gm / d_denom, 0.0)
         s_pix = s_pix * in_range
     else:
         m_t = jnp.zeros((1, p), _f32)
         s_pix = jnp.zeros((1, p), _f32)
-        nc_chunks = 0
 
     # --- main gradient traversal ---------------------------------------------
     tmin = _f32(cfg.transmittance_min)
@@ -639,21 +752,44 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
         if cfg.require_depth:
             m_applied = passes & (rel < n_contrib)
             am = jnp.where(m_applied, a, 0.0)
-            _, hg, om, behind, delta, rsig = _median_model(ch, am, m_t)
-            sgn = jnp.where(behind, 1.0, -1.0)
-            half_r = 0.5 / om
-            dlf_da = jnp.where(behind, -1.0 / (1.0 - am) + half_r * hg,
-                               -half_r * hg)
-            dlf_dg = sgn * half_r * am
-            d_a = d_a + jnp.where(m_applied, s_pix * dlf_da, 0.0)
-            # dg/dtp = hg*delta*rsig ; dg/drsig = -hg*delta^2/rsig
-            d_tp = jnp.where(m_applied, s_pix * dlf_dg * hg * delta * rsig, 0.0)
-            d_rsig_gp = jnp.where(
-                m_applied & (rsig > 0),
-                s_pix * dlf_dg * (-hg * delta * delta /
-                                  jnp.where(rsig > 0, rsig, 1.0)),
-                0.0)
-            d_rsig = _col_sum(d_rsig_gp)
+
+            def md_full(_):
+                _, hg, om, behind, delta, rsig = _median_model(ch, am, m_t)
+                sgn = jnp.where(behind, 1.0, -1.0)
+                half_r = 0.5 / om
+                dlf_da = jnp.where(behind, -1.0 / (1.0 - am) + half_r * hg,
+                                   -half_r * hg)
+                dlf_dg = sgn * half_r * am
+                d_ax = jnp.where(m_applied, s_pix * dlf_da, 0.0)
+                # dg/dtp = hg*delta*rsig ; dg/drsig = -hg*delta^2/rsig
+                d_tp = jnp.where(m_applied,
+                                 s_pix * dlf_dg * hg * delta * rsig, 0.0)
+                d_rsig_gp = jnp.where(
+                    m_applied & (rsig > 0),
+                    s_pix * dlf_dg * (-hg * delta * delta /
+                                      jnp.where(rsig > 0, rsig, 1.0)),
+                    0.0)
+                return d_ax, d_tp, _col_sum(d_rsig_gp)
+
+            def md_far(_):
+                # every applied gaussian is >= 5 sigma from the root: the
+                # half-gaussian factor hg ~ exp(-12.5) vanishes, leaving only
+                # the constant log1p(-a) term of gaussians BEHIND the root
+                # (d lf/da = -1/(1-a)); ahead-of-root gaussians contribute 0.
+                behind = m_t > ch.t_val
+                d_ax = jnp.where(m_applied & behind,
+                                 -s_pix / (1.0 - am), 0.0)
+                return (d_ax, jnp.zeros_like(d_ax), jnp.zeros((G, 1), _f32))
+
+            if _BWD_MEDIAN_SKIP:
+                rsig_c = ch.col(12)
+                near = m_applied & (rsig_c > 0) & \
+                    (jnp.abs(m_t - ch.t_val) * rsig_c < 5.0)
+                d_ax, d_tp, d_rsig = jax.lax.cond(
+                    jnp.any(near), md_full, md_far, 0)
+            else:
+                d_ax, d_tp, d_rsig = md_full(0)
+            d_a = d_a + d_ax
         else:
             d_tp = jnp.zeros_like(d_a)
             d_rsig = jnp.zeros((G, 1), _f32)

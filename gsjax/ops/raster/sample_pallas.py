@@ -91,6 +91,8 @@ def _sfwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, out_ref,
 
     tmin = _f32(cfg.transmittance_min)
 
+    n_slots = cache.shape[0]
+
     def body(carry):
         # multiplicative transmittance march (see render_pallas fwd kernel)
         c, t_row, last_idx, md_init, log_tp = carry
@@ -102,6 +104,15 @@ def _sfwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, out_ref,
         t_incl = t_prev * one_m
         keep = t_incl >= tmin
         applied = passes & keep
+        if not integrate:
+            # bank median-model planes for _median_search (see render_pallas)
+            @pl.when(c < n_slots)
+            def _():
+                am = jnp.where(applied, a, 0.0)
+                cache[c, 0] = am
+                cache[c, 1] = jnp.broadcast_to(ch.t_val, am.shape)
+                cache[c, 2] = jnp.broadcast_to(ch.col(12), am.shape)
+                cache[c, 3] = jnp.log1p(-am)
         cond = applied & (t_prev > 0.5)
         best = jnp.max(jnp.where(cond, rel, -1), axis=0, keepdims=True)
         md_new = jnp.max(jnp.where(rel == best, ch.t_val, -jnp.inf), axis=0,
@@ -128,7 +139,7 @@ def _sfwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, out_ref,
     row0 = jnp.zeros((1, p_round), _f32)
     init = (jnp.int32(0), jnp.ones((1, p_round), _f32),
             jnp.full((1, p_round), -1, jnp.int32), row0, row0)
-    _, t_final, last_idx, md_init, log_tp = jax.lax.while_loop(
+    c_end, t_final, last_idx, md_init, log_tp = jax.lax.while_loop(
         cond_fn, body, init)
     n_contrib = last_idx + 1
     out_ref[0, 2:3, :] = n_contrib.astype(_f32)
@@ -140,10 +151,12 @@ def _sfwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, out_ref,
         out_ref[0, 0:1, :] = jnp.exp(log_tp)
         out_ref[0, 1:2, :] = jnp.ones((1, p_round), _f32)
     else:
-        m_t, in_range = _median_search(buf, px, py, eye, n_contrib, count,
-                                       t_final, md_init, flags, cache, cfg)
+        m_t, in_range, d_denom = _median_search(
+            buf, px, py, eye, n_contrib, count, t_final, md_init,
+            flags, cache, cfg, cached_n=jnp.minimum(c_end, n_slots))
         out_ref[0, 0:1, :] = m_t
         out_ref[0, 1:2, :] = in_range.astype(_f32)
+        out_ref[0, 5:6, :] = d_denom    # implicit-fn denominator for the bwd
 
 
 def _sfwd_call(feats_t, pts_rows, gs, gc, ps, cfg: RasterConfig,
@@ -161,7 +174,8 @@ def _sfwd_call(feats_t, pts_rows, gs, gc, ps, cfg: RasterConfig,
             pltpu.VMEM((2, P_ROWS, p_round), _f32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((cfg.max_per_tile // G,), jnp.int32),
-            pltpu.VMEM((8, 4, G, p_round), _f32),
+            # march-filled median-model chunk cache (slot = chunk index)
+            pltpu.VMEM((min(16, cfg.max_per_tile // G), 4, G, p_round), _f32),
         ],
     )
     kernel = partial(_sfwd_kernel, cfg=cfg, n_rounds=n_rounds,
@@ -228,21 +242,9 @@ def _sbwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, res_hbm_spec,
     def _():
         acc[:, :] = jnp.zeros((_F, mpt), _f32)
 
-    # --- implicit-function denominator dT/dt at t = m_t ---------------------
-    def d_body(c, acc_d):
-        ch = _Chunk(buf, c, px, py, eye)
-        rel = _rel_ids(c)
-        a, _, passes = ch.alpha(cfg, rel, count)
-        applied = passes & (rel < n_contrib)
-        a = jnp.where(applied, a, 0.0)
-        _, hg, om, behind, delta, rsig = _median_model(ch, a, m_t)
-        sgn = jnp.where(behind, 1.0, -1.0)
-        d_t = sgn * 0.5 * (a / om) * (-hg * delta * rsig)
-        return acc_d + jnp.sum(jnp.where(applied, d_t, 0.0), axis=0,
-                               keepdims=True)
-
-    d_denom = jax.lax.fori_loop(0, nc_chunks, d_body,
-                                jnp.zeros((1, p_round), _f32))
+    # --- implicit-function denominator dlogT/dt at t = m_t, saved by the
+    # forward's final root evaluation (row 5) — no re-traversal needed
+    d_denom = res[5:6, :]
     s_pix = jnp.where(jnp.abs(d_denom) > 1e-20, -gm / d_denom, 0.0) * in_range
 
     # --- per-gaussian + per-point gradients ----------------------------------
