@@ -26,6 +26,8 @@ import jax.numpy as jnp
 # fused (tile << bits | depth-msbs) u32 sort key vs lexicographic
 # (tile, depth) two-key sort — see the comment at the sort site
 _FUSED_SORT_KEY = os.environ.get("GSJAX_FUSED_SORT_KEY", "1") not in ("0", "")
+# aligned re-layout of gauss ids via scatter-from-sorted vs monotone gather
+_SCATTER_LAYOUT = os.environ.get("GSJAX_SCATTER_LAYOUT", "1") not in ("0", "")
 
 from gsjax.ops.raster.config import RasterConfig
 from gsjax.ops.raster.preprocess import Preprocessed
@@ -164,7 +166,29 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
     q_ids = jnp.arange(k_al, dtype=jnp.int32)
     src = ts + (q_ids - sa)
     valid_al = src < be
-    g_al = barrier(sorted_g[barrier(jnp.where(valid_al, src, 0))])
+
+    if _SCATTER_LAYOUT:
+        # dense gauss ids in the aligned layout, via SCATTER from sorted
+        # order rather than `sorted_g[src]`: that monotone gather is
+        # latency-bound on the 2^21-entry table (23.3 ms measured on TPU
+        # 2026-08-19 vs 12.4 ms for this [k]->[k_al] i32 scatter + ~2 ms of
+        # [k]-spreads). Sorted position s lands at aligned slot
+        # s + pad_before(tile_of_s); positions past a tile's max_per_tile
+        # clamp (or past the live total) are dropped.
+        padoff = start_al - tile_start                 # [T] non-decreasing
+        keepv = tile_start + jnp.minimum(tile_count, cfg.max_per_tile)
+        s_ids = jnp.arange(k, dtype=jnp.int32)
+
+        def spread_sorted(vals):  # [T] non-decreasing -> per-sorted-slot
+            return barrier(jax.lax.cummax(jnp.zeros((k,), jnp.int32).at[
+                tile_start].max(vals, mode="drop")))
+
+        keep_s = s_ids < spread_sorted(keepv)
+        dst = jnp.where(keep_s, s_ids + spread_sorted(padoff), k_al)
+        g_al = jnp.zeros((k_al,), jnp.int32).at[dst].set(sorted_g,
+                                                         mode="drop")
+    else:
+        g_al = barrier(sorted_g[barrier(jnp.where(valid_al, src, 0))])
 
     return Binning(
         gauss_idx=jnp.where(valid_al, g_al, 0),
