@@ -321,9 +321,6 @@ def _row_slice(x, r0, nrows, total_rows):
     return jax.lax.dynamic_slice_in_dim(xp, r0, nrows, 0)
 
 
-@partial(jax.jit,
-         static_argnames=("cfg", "loss_cfg", "mesh", "dev_pair_capacity",
-                          "rows_per_max"))
 def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                        adam: gm.AdamState, camera: Camera, gt_image, bg,
                        lrs, cfg: RasterConfig, loss_cfg: LossConfig, mesh: Mesh,
@@ -333,6 +330,35 @@ def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                        gray_r=None, gray_n=None,
                        dev_pair_capacity: int | None = None,
                        row_bounds=None, rows_per_max: int | None = None):
+    """Thin default-filling wrapper. Defaults are canonicalised BEFORE the
+    jit boundary: a `row_bounds=None` call and an explicit equal-bounds call
+    must hit the SAME compiled program (None is a different pytree treedef —
+    round 2's dryrun recompiled the whole step over exactly this)."""
+    n_dev = mesh.devices.size
+    _, tiles_y, rows_per = _band_grid(camera, cfg, n_dev)
+    if row_bounds is None:
+        row_bounds = equal_band_bounds(tiles_y, n_dev)
+    if rows_per_max is None:
+        rows_per_max = rows_per
+    return _train_step_sharded(
+        params, aux, adam, camera, gt_image, bg, lrs, cfg, loss_cfg, mesh,
+        app_embedding, app_net, near_cam, gray_r, gray_n, dev_pair_capacity,
+        jnp.asarray(row_bounds, jnp.int32), int(rows_per_max))
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "loss_cfg", "mesh", "dev_pair_capacity",
+                          "rows_per_max"))
+def _train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
+                        adam: gm.AdamState, camera: Camera, gt_image, bg,
+                        lrs, cfg: RasterConfig, loss_cfg: LossConfig,
+                        mesh: Mesh,
+                        app_embedding: jax.Array | None = None,
+                        app_net: dict | None = None,
+                        near_cam: Camera | None = None,
+                        gray_r=None, gray_n=None,
+                        dev_pair_capacity: int | None = None,
+                        row_bounds=None, rows_per_max: int | None = None):
     """Sharded train step, full parity with `train.step.train_step`:
     per-device binning + tile blend, psum'd parameter / mean2d-tap /
     appearance gradients, replicated Adam update, densification stats.

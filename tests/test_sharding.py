@@ -199,12 +199,17 @@ def test_sharded_training_with_densify_matches_single():
     extent = jnp.asarray(4.0)
 
     s_params, s_aux, s_adam = params, aux, adam
-    d_params, d_aux, d_adam = params, aux, adam
+    # commit the sharded branch's inputs to the mesh up front: the first
+    # call's outputs are mesh-committed, so an uncommitted first call would
+    # compile the step twice (~40 s each on this 1-core host)
+    from jax.sharding import NamedSharding, PartitionSpec
+    d_params, d_aux, d_adam, d_gt, d_bg = jax.device_put(
+        (params, aux, adam, gt, bg), NamedSharding(mesh, PartitionSpec()))
     for it in range(1, 25):
         s_params, s_aux, s_adam, m1 = train_step(
             s_params, s_aux, s_adam, cam, gt, bg, lrs, cfg, lc)
         d_params, d_aux, d_adam, m2 = train_step_sharded(
-            d_params, d_aux, d_adam, cam, gt, bg, lrs, cfg, lc, mesh)
+            d_params, d_aux, d_adam, cam, d_gt, d_bg, lrs, cfg, lc, mesh)
         if it % 10 == 0:
             key, k = jax.random.split(key)
             s_params, s_aux, s_adam, _ = gm.densify_and_prune(
