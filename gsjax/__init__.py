@@ -25,10 +25,35 @@ if _os.environ.get("GSJAX_PLATFORM"):
 # Persistent compilation cache: the fused raster/bisection programs take
 # minutes to compile; caching makes every process after the first start in
 # seconds. Opt out with GSJAX_NO_COMPILE_CACHE=1.
+#
+# The directory is keyed by the HOST's machine features: XLA:CPU AOT
+# artifacts embed the compile machine's ISA extensions, and loading an entry
+# produced on a different machine is a SIGILL hazard ("Compile machine
+# features ... vs host machine features" warnings observed in round-1/2
+# multichip dryruns when ~/.cache was carried across hosts). A per-feature
+# directory makes stale cross-machine entries unreachable instead of fatal.
+
+
+def _host_feature_tag() -> str:
+    import hashlib
+    import platform
+
+    probe = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    probe += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(probe.encode()).hexdigest()[:10]
+
+
 if not _os.environ.get("GSJAX_NO_COMPILE_CACHE"):
     import jax as _jax
 
-    _jax.config.update("jax_compilation_cache_dir",
-                       _os.environ.get("GSJAX_COMPILE_CACHE_DIR",
-                                       _os.path.expanduser("~/.cache/gsjax-xla")))
+    _cache_dir = _os.environ.get("GSJAX_COMPILE_CACHE_DIR") or _os.path.join(
+        _os.path.expanduser("~/.cache"), f"gsjax-xla-{_host_feature_tag()}")
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
