@@ -123,3 +123,21 @@ def convert_torch_weights(out_path):
         sd[f"features.{_TV_CONV_IDX[i]}.bias"] = layer.bias.detach().numpy()
     lins = [lin.model[-1].weight.detach().numpy() for lin in net.lins]
     convert_state_dicts(sd, lins, out_path)
+
+
+if __name__ == "__main__":
+    # One-command offline conversion (run on any machine with the `lpips`
+    # pip package + its cached VGG16 weights, then copy the npz here):
+    #
+    #   python -m gsjax.eval.lpips /path/to/lpips_vgg.npz
+    #   GSJAX_LPIPS_WEIGHTS=/path/to/lpips_vgg.npz python metric.py -m <dir>
+    #
+    # Equivalent of lpipsPyTorch/__init__.py:6-21 + modules/lpips.py in the
+    # reference (which downloads torchvision VGG16 at import time).
+    import sys
+
+    if len(sys.argv) != 2:
+        sys.exit("usage: python -m gsjax.eval.lpips <out.npz>   "
+                 "(requires the `lpips` pip package on THIS machine)")
+    convert_torch_weights(sys.argv[1])
+    print(f"wrote {sys.argv[1]}; use via GSJAX_LPIPS_WEIGHTS={sys.argv[1]}")

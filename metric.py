@@ -36,6 +36,14 @@ def main():
     args = parser.parse_args()
 
     lp_weights = lpips_mod.load_weights()
+    if lp_weights is None:
+        print("WARNING: LPIPS weights not found -> reporting lpips: null.\n"
+              "  Pretrained VGG16 weights cannot be downloaded in this "
+              "offline image.\n"
+              "  On any machine with the `lpips` pip package, run:\n"
+              "    python -m gsjax.eval.lpips lpips_vgg.npz\n"
+              "  then re-run with GSJAX_LPIPS_WEIGHTS=lpips_vgg.npz.",
+              flush=True)
     for model_path in args.model_paths:
         print("Scene:", model_path)
         full = {}
