@@ -1,0 +1,104 @@
+"""Reg-phase train-step benchmark: the REAL "train iters/s on DTU" proxy.
+
+bench.py times the rasterizer-only step (fwd+bwd + L1/SSIM); from
+`regularization_from_iter` (default 7000) every reference step additionally
+runs median depth, depth->normal consistency, and the PGSR multi-view terms
+(sample_depth cross-projection + warped-patch NCC) — 23k of the 30k training
+iterations (train.py:141-191, utils/loss_utils.py:140-267). This benchmarks
+the FULL `train_step` with `LossConfig(reg_on=True, mv_on=True)` at 1080p /
+100k gaussians, including the Adam update and densification-stat taps.
+
+Prints one JSON line like bench.py:
+  {"metric": "reg_train_step_ms_1080p", "value": ..., "unit": "ms/iter",
+   "vs_baseline": <reference-class 30 iters/s => 33.3 ms target / value>}
+
+Env overrides: GSJAX_BENCH_{WIDTH,HEIGHT,N,ITERS}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_ITER_MS = 1000.0 / 30.0   # reference-class ~30 train iters/s
+
+
+def main():
+    import jax
+    if os.environ.get("GSJAX_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["GSJAX_PLATFORM"])
+    import jax.numpy as jnp
+
+    from gsjax.model import gaussians as gm
+    from gsjax.ops.raster import RasterConfig
+    from gsjax.ops.raster.camera import Camera
+    from gsjax.train.step import LossConfig, train_step
+    from gsjax.utils.benchsync import sync
+
+    width = int(os.environ.get("GSJAX_BENCH_WIDTH", 1920))
+    height = int(os.environ.get("GSJAX_BENCH_HEIGHT", 1080))
+    n = int(os.environ.get("GSJAX_BENCH_N", 100_000))
+    iters = int(os.environ.get("GSJAX_BENCH_ITERS", 8))
+
+    rng = np.random.default_rng(0)
+    points = rng.normal(0, 1.2, (n, 3)).astype(np.float32)
+    points[:, 2] += 5.0
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    knn = np.full((n,), 1e-4, np.float32)      # scale init only; not timed
+    params, aux = gm.init_from_pcd(points, colors, n, sh_degree=3,
+                                   sg_degree=0, knn_dist2=knn)
+    adam = gm.adam_init(params)
+
+    cam = Camera.create(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                        1.0, 0.66, width, height)
+    th = 0.05
+    r2 = np.eye(3, dtype=np.float32)
+    r2[0, 0] = r2[2, 2] = np.cos(th)
+    r2[0, 2] = np.sin(th)
+    r2[2, 0] = -np.sin(th)
+    near = Camera.create(r2, np.asarray([0.15, 0.0, 0.0], np.float32),
+                         1.0, 0.66, width, height)
+
+    cfg = RasterConfig(pair_capacity=1 << 21, max_per_tile=1 << 11,
+                       sh_degree=3, require_depth=True)
+    lc = LossConfig(reg_on=True, mv_on=True)
+    gt = jnp.asarray(rng.uniform(0, 1, (height, width, 3)).astype(np.float32))
+    gray = jnp.asarray(rng.uniform(0, 1, (height, width)).astype(np.float32))
+    bg = jnp.zeros(3)
+    lrs = dict(xyz=1.6e-4, features_dc=0.0025, features_rest=0.0001,
+               opacity=0.05, scaling=0.005, rotation=0.001,
+               sg_axis=0.002, sg_sharpness=0.095, sg_color=0.00064)
+
+    def step(p, a, ad, gt, bg, gray):
+        return train_step(p, a, ad, cam, gt, bg, lrs, cfg, lc,
+                          near_cam=near, gray_r=gray, gray_n=gray)
+
+    t0 = time.perf_counter()
+    params, aux, adam, m = step(params, aux, adam, gt, bg, gray)
+    sync(m["loss"])
+    print(f"warmup {time.perf_counter() - t0:.1f}s "
+          f"loss={float(m['loss']):.4f} ncc={float(m['ncc_loss']):.4f} "
+          f"geo={float(m['geo_loss']):.5f}", file=sys.stderr)
+    sync(step(params, aux, adam, gt, bg, gray)[3]["loss"])   # settle
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, aux, adam, m = step(params, aux, adam, gt, bg, gray)
+    sync(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"timed {iters} iters: {dt * 1e3:.1f} ms/iter", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "reg_train_step_ms_1080p",
+        "value": round(dt * 1e3, 2),
+        "unit": "ms/iter",
+        "vs_baseline": round(BASELINE_ITER_MS / (dt * 1e3), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
