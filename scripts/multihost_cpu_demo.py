@@ -75,7 +75,8 @@ def f(x):
 xs = jax.device_put(
     np.arange(1, n_global + 1, dtype=np.float32),
     NamedSharding(mesh, P("tiles")))
-psum_val = float(np.asarray(jax.device_get(f(xs)))[0])   # 1+2+3+4 = 10
+# the result spans non-addressable devices; read this process's local shard
+psum_val = float(np.asarray(f(xs).addressable_shards[0].data).ravel()[0])
 
 # 2. tiny tiles-sharded train step across the 2-process mesh
 rng = np.random.default_rng(0)
