@@ -149,6 +149,8 @@ _NEWTON_ITERS = int(_os.environ.get("GSJAX_MEDIAN_NEWTON_ITERS", "7") or 7)
 # Backward: skip the per-chunk median-model math when every applied gaussian
 # of the chunk sits >= 5 sigma from the root (cheap constant-term path).
 _BWD_MEDIAN_SKIP = _os.environ.get("GSJAX_BWD_MEDIAN_SKIP", "1") not in ("0", "")
+# Median-model chunk-cache slots (x 4 planes x [G, P] f32 VMEM each).
+_MEDIAN_SLOTS = int(_os.environ.get("GSJAX_MEDIAN_SLOTS", "16") or 16)
 
 
 def _quad_basis(t, tiles_x, cfg: RasterConfig):
@@ -620,7 +622,7 @@ def _fwd_call(feats_t, tile_ids, starts, counts, cam_params,
             # median-model chunk cache, filled by the blend march (slot =
             # chunk index); 16 slots x 4 planes x [G, P] f32 = 32 MB VMEM
             # covers every chunk at max_per_tile 2048
-            pltpu.VMEM((min(16, cfg.max_per_tile // G), 4, G,
+            pltpu.VMEM((min(_MEDIAN_SLOTS, cfg.max_per_tile // G), 4, G,
                         cfg.pixels_per_tile), _f32),
         ],
     )

@@ -41,8 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gsjax.ops.raster.config import RasterConfig
 from gsjax.ops.raster.render_pallas import (
-    _F, G, _f32, _Chunk, _col_sum, _dot, _eye16, _median_model,
-    _median_search, _prefix_prod_excl, _rel_ids, _start_copy)
+    _F, _MEDIAN_SLOTS, G, _f32, _Chunk, _col_sum, _dot, _eye16,
+    _median_model, _median_search, _prefix_prod_excl, _rel_ids, _start_copy)
 
 P_ROWS = 4   # point payload rows: px, py, eval_t, pad
 O_ROWS = 8   # output rows: value, flag, n_contrib, md_init, t_final, 0, 0, 0
@@ -105,14 +105,18 @@ def _sfwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, out_ref,
         keep = t_incl >= tmin
         applied = passes & keep
         if not integrate:
-            # bank median-model planes for _median_search (see render_pallas)
-            @pl.when(c < n_slots)
-            def _():
+            # bank median-model planes for _median_search (see render_pallas;
+            # plane 3 is filled by the search's classification pass)
+            def bank():
                 am = jnp.where(applied, a, 0.0)
                 cache[c, 0] = am
                 cache[c, 1] = jnp.broadcast_to(ch.t_val, am.shape)
                 cache[c, 2] = jnp.broadcast_to(ch.col(12), am.shape)
-                cache[c, 3] = jnp.log1p(-am)
+
+            if cfg.max_per_tile // G <= n_slots:
+                bank()
+            else:
+                pl.when(c < n_slots)(bank)
         cond = applied & (t_prev > 0.5)
         best = jnp.max(jnp.where(cond, rel, -1), axis=0, keepdims=True)
         md_new = jnp.max(jnp.where(rel == best, ch.t_val, -jnp.inf), axis=0,
@@ -175,7 +179,8 @@ def _sfwd_call(feats_t, pts_rows, gs, gc, ps, cfg: RasterConfig,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((cfg.max_per_tile // G,), jnp.int32),
             # march-filled median-model chunk cache (slot = chunk index)
-            pltpu.VMEM((min(16, cfg.max_per_tile // G), 4, G, p_round), _f32),
+            pltpu.VMEM((min(_MEDIAN_SLOTS,
+                            cfg.max_per_tile // G), 4, G, p_round), _f32),
         ],
     )
     kernel = partial(_sfwd_kernel, cfg=cfg, n_rounds=n_rounds,
