@@ -19,10 +19,21 @@ layout for the PatchMatch loss.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+_NCC_BACKEND = os.environ.get("GSJAX_NCC_BACKEND", "auto")
+
+
+def _use_pallas_sampler() -> bool:
+    if _NCC_BACKEND == "ref":
+        return False
+    if _NCC_BACKEND == "pallas":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _bilinear(img, u, v):
@@ -94,39 +105,80 @@ def warp_patch_ncc(depth: jax.Array,
     hmat = jnp.einsum("ij,hwjk,kl->hwil", k_n, hn_mat, k_r_inv,
                       precision=jax.lax.Precision.HIGHEST)        # [H,W,3,3]
 
-    offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    offs = offs * (0.5 if half_step else 1.0)
-    n_off = offs.shape[0]
+    step = 0.5 if half_step else 1.0
+    offs = [i * step for i in range(-radius, radius + 1)]
+    n_off = len(offs)
 
     h_uc = jnp.einsum("hwij,hwj->hwi", hmat,
                       jnp.stack([u, v, jnp.ones_like(u)], -1),
                       precision=jax.lax.Precision.HIGHEST)        # [H,W,3]
 
+    # Reference-image taps sit on a REGULAR grid (constant offsets du, dv):
+    # bilinear at a constant fractional offset is a fixed 2/4-coefficient
+    # blend of integer-shifted images — pure slices, no gather. The old
+    # per-tap _bilinear(gray_r, u+du, v+dv) alone cost ~4s/step at 1080p
+    # (49 taps x 4 corners x 2M scalar gathers). Edge-padding reproduces the
+    # CUDA kernel's index clamping.
+    import math
+
+    pad = int(math.ceil(rf)) + 1
+    gr_pad = jnp.pad(gray_r, pad, mode="edge")
+    row0 = jnp.asarray(row_offset, jnp.int32)
+
+    def shifted_r(iv, iu):
+        return jax.lax.dynamic_slice(
+            gr_pad, (pad + row0 + iv, jnp.int32(pad + iu)), (hs, w))
+
+    def c_r_tap(du, dv):
+        u0, fu = math.floor(du), du - math.floor(du)
+        v0, fv = math.floor(dv), dv - math.floor(dv)
+        out = 0.0
+        for iv, wv_ in ((v0, 1.0 - fv), (v0 + 1, fv)):
+            for iu, wu_ in ((u0, 1.0 - fu), (u0 + 1, fu)):
+                if wv_ * wu_ != 0.0:
+                    out = out + (wv_ * wu_) * shifted_r(iv, iu)
+        return out
+
     stats = jnp.zeros((5, hs, w))
     all_inside = ((u - rf > 0) & (u + rf < w - 1)
                   & (v - rf > 0) & (v + rf < h - 1))
 
-    def body(carry, dv):
-        stats, all_inside = carry
+    # neighbour-tap positions for ALL taps, [K, Hs, W] (the homography is
+    # applied per tap; division per tap as in warp_patch_ncc_impl.cu:90-110)
+    du_k = jnp.asarray([du for dv in offs for du in offs])[:, None, None]
+    dv_k = jnp.asarray([dv for dv in offs for du in offs])[:, None, None]
+    num_u = h_uc[None, ..., 0] + du_k * hmat[None, ..., 0, 0] \
+        + dv_k * hmat[None, ..., 0, 1]
+    num_v = h_uc[None, ..., 1] + du_k * hmat[None, ..., 1, 0] \
+        + dv_k * hmat[None, ..., 1, 1]
+    den = h_uc[None, ..., 2] + du_k * hmat[None, ..., 2, 0] \
+        + dv_k * hmat[None, ..., 2, 1]
+    den = jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
+    un_k = num_u / den
+    vn_k = num_v / den
+    inside_k = ((un_k - rf > 0) & (un_k + rf < wn - 1)
+                & (vn_k - rf > 0) & (vn_k + rf < hn - 1))
+    all_inside = all_inside & jnp.all(inside_k, axis=0)
 
-        def inner(carry2, du):
-            stats, all_inside = carry2
-            c_r = _bilinear(gray_r, u + du, v + dv)
-            h_uv = h_uc + du * hmat[..., :, 0] + dv * hmat[..., :, 1]
-            z = jnp.where(jnp.abs(h_uv[..., 2]) > 1e-12, h_uv[..., 2], 1e-12)
-            un = h_uv[..., 0] / z
-            vn = h_uv[..., 1] / z
-            inside = ((un - rf > 0) & (un + rf < wn - 1)
-                      & (vn - rf > 0) & (vn + rf < hn - 1))
-            c_n = _bilinear(gray_n, un, vn)
+    if _use_pallas_sampler():
+        # Pallas block sampler: ~8.3 s of XLA gathers -> one MXU kernel
+        # (gsjax/ops/warp_sample.py). `ok` adds an in-window condition for
+        # extreme warps (taps a caller would reject geometrically anyway).
+        from gsjax.ops.warp_sample import warp_sample
+        c_n_k, ok = warp_sample(gray_n, un_k, vn_k,
+                                jax.default_backend() != "tpu")
+        all_inside = all_inside & ok
+    else:
+        c_n_k = jax.vmap(lambda uu, vv: _bilinear(gray_n, uu, vv))(un_k, vn_k)
+
+    k = 0
+    for dv in offs:
+        for du in offs:
+            c_r = c_r_tap(du, dv)
+            c_n = c_n_k[k]
+            k += 1
             stats = stats + jnp.stack(
                 [c_r, c_n, c_r * c_r, c_n * c_n, c_r * c_n])
-            return (stats, all_inside & inside), None
-
-        (stats, all_inside), _ = jax.lax.scan(inner, (stats, all_inside), offs)
-        return (stats, all_inside), None
-
-    (stats, all_inside), _ = jax.lax.scan(body, (stats, all_inside), offs)
 
     total = float(n_off * n_off)
     s_r, s_n, s_r2, s_n2, s_rn = stats
