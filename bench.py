@@ -143,8 +143,10 @@ def _supervise():
     # truncated persistent-cache entry; wipe and retry once.
     print(f"bench child crashed (exit {r.returncode}); clearing the "
           f"persistent XLA cache and retrying once", file=sys.stderr)
-    shutil.rmtree(os.environ.get("GSJAX_COMPILE_CACHE_DIR",
-                                 os.path.expanduser("~/.cache/gsjax-xla")),
+    from gsjax import _host_feature_tag
+    default_dir = os.path.join(os.path.expanduser("~/.cache"),
+                               f"gsjax-xla-{_host_feature_tag()}")
+    shutil.rmtree(os.environ.get("GSJAX_COMPILE_CACHE_DIR", default_dir),
                   ignore_errors=True)
     time.sleep(150)   # axon TPU claim cooldown after the dead child
     r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
