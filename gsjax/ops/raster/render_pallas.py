@@ -151,6 +151,9 @@ _NEWTON_ITERS = int(_os.environ.get("GSJAX_MEDIAN_NEWTON_ITERS", "7") or 7)
 _BWD_MEDIAN_SKIP = _os.environ.get("GSJAX_BWD_MEDIAN_SKIP", "1") not in ("0", "")
 # Median-model chunk-cache slots (x 4 planes x [G, P] f32 VMEM each).
 _MEDIAN_SLOTS = int(_os.environ.get("GSJAX_MEDIAN_SLOTS", "16") or 16)
+# Evaluation sweep flavour when the cache covers every chunk: "flat"
+# (straight-line cached math, no per-chunk switch) or "switch".
+_MEDIAN_EVAL = _os.environ.get("GSJAX_MEDIAN_EVAL", "switch")
 
 
 def _quad_basis(t, tiles_x, cfg: RasterConfig):
@@ -352,8 +355,36 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
 
     lf_const = jax.lax.fori_loop(0, nc_chunks, pre_body, zero)
 
+    # flat evaluation: when the march cache covers every chunk, the
+    # classification pass has already zeroed the am/log1p planes of culled
+    # elements AND of fully-constant chunks, so their contribution is
+    # exactly 0 — the per-chunk lax.switch (skip/recompute/cached) can be
+    # dropped and every sweep is straight-line cached math. A/B knob
+    # GSJAX_MEDIAN_EVAL=flat|switch.
+    flat = (_MEDIAN_EVAL == "flat"
+            and cfg.max_per_tile // G <= cache.shape[0])
+
     def eval_t(ts, want_d=False):
         """log T(ts) [1,P]; with want_d also d(log T)/dt for Newton."""
+        def body_flat(c, carry):
+            log_tp, d_tp = carry
+            am = cache[c, 0]
+            tv = cache[c, 1]
+            rs = cache[c, 2]
+            l1m = cache[c, 3]
+            delta = (ts - tv) * rs
+            hg = jnp.where(rs > 0, jnp.exp(-0.5 * delta * delta), 0.0)
+            om = jnp.maximum(1.0 - am * hg, 1e-12)
+            behind = ts > tv
+            lf = jnp.where(behind, l1m - 0.5 * jnp.log(om),
+                           0.5 * jnp.log(om))
+            log_tp = log_tp + jnp.sum(lf, axis=0, keepdims=True)
+            if want_d:
+                sgn = jnp.where(behind, 1.0, -1.0)
+                dlf = sgn * 0.5 * (am / om) * (-hg * delta * rs)
+                d_tp = d_tp + jnp.sum(dlf, axis=0, keepdims=True)
+            return (log_tp, d_tp)
+
         def body(c, carry):
             flag = flags[c]
 
@@ -405,7 +436,8 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
             return jax.lax.switch(jnp.minimum(flag, 2),
                                   [skip, recompute, cached], carry)
 
-        lt, dt = jax.lax.fori_loop(0, nc_chunks, body, (zero, zero))
+        lt, dt = jax.lax.fori_loop(0, nc_chunks, body_flat if flat else body,
+                                   (zero, zero))
         return lf_const + lt, dt
 
     l_lo, _ = eval_t(d_min)

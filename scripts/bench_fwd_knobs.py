@@ -62,16 +62,20 @@ def main():
         render_ref.prepare_pairs(p, b, cfg), cfg))(prep, binning)
 
     results = {}
-    for slots, niters, impl in [(16, 7, "newton"), (8, 7, "newton"),
-                                (16, 5, "newton"), (8, 5, "newton"),
-                                (16, 7, "bisect")]:
+    for slots, niters, impl, ev in [(16, 7, "newton", "switch"),
+                                    (16, 7, "newton", "flat"),
+                                    (8, 7, "newton", "switch"),
+                                    (16, 5, "newton", "switch"),
+                                    (16, 7, "bisect", "flat")]:
         rp._MEDIAN_SLOTS = slots
         rp._NEWTON_ITERS = niters
         rp._MEDIAN_IMPL = impl
+        rp._MEDIAN_EVAL = ev
         fwd = jax.jit(lambda ft, st, ct: rp._fwd_call(
             ft, tile_ids, st, ct, cam_params, cfg, tiles_x, n_tiles, False))
         timeit(fwd, (feats_t, binning.tile_start, binning.tile_count),
-               args.iters, f"fwd slots={slots} it={niters} {impl}", results)
+               args.iters, f"fwd slots={slots} it={niters} {impl} {ev}",
+               results)
 
     print(json.dumps(results, indent=1))
     if args.out:
