@@ -293,7 +293,15 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
     (recompute per evaluation), c+2 = cached."""
     zero = jnp.zeros_like(md_init)
     max_contrib = jnp.max(n_contrib)
-    nc_chunks = (max_contrib + G - 1) // G
+    # whole-tile skip: in_range requires t_final <= min_transmittance per
+    # pixel; when NO pixel qualifies (background / sparse tiles, common in
+    # real scenes and early training) every output is provably masked, so
+    # classification and all evaluation sweeps run zero chunk trips. With
+    # zero trips log T == 0 => T(lo) = T(hi) = 1 => in_range stays all-False
+    # — semantics are exact, not approximate.
+    any_range = jnp.any(t_final <= cfg.min_transmittance)
+    nc_chunks = jnp.where(any_range, (max_contrib + G - 1) // G,
+                          jnp.int32(0))
     d_min = jnp.maximum(md_init - cfg.sample_range, 0.0)
     d_max = jnp.maximum(md_init + cfg.sample_range, 0.0)
     if cached_n is None:
