@@ -126,11 +126,12 @@ def _eye16():
             jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 1)).astype(_f32)
 
 
-def _pixel_rows(t, tiles_x, cfg: RasterConfig):
-    """Global pixel coordinate rows [1, P] of tile t."""
+def _pixel_rows(t, tiles_x, cfg: RasterConfig, s=0, p_sub=None):
+    """Global pixel coordinate rows [1, p_sub] of sub-block s of tile t
+    (s=0, p_sub=P: the whole tile)."""
     tile = cfg.tile
-    p = cfg.pixels_per_tile
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    p_sub = cfg.pixels_per_tile if p_sub is None else p_sub
+    lin = s * p_sub + jax.lax.broadcasted_iota(jnp.int32, (1, p_sub), 1)
     tx = (t % tiles_x) * tile
     ty = (t // tiles_x) * tile
     px = (tx + lin % tile).astype(_f32)
@@ -139,6 +140,15 @@ def _pixel_rows(t, tiles_x, cfg: RasterConfig):
 
 
 _QUAD_MXU = int(_os.environ.get("GSJAX_QUAD_MXU", "0") or 0)
+
+# Sub-tile pixel bands: each tile's P pixels split into S bands of P/S that
+# march (and median-search) with their OWN early exit — the CUDA per-pixel
+# break (render_forward.cu:498-500) recovered at band granularity. The tile's
+# pair list is DMA'd once and shared by its bands (grid = (tiles, S), band
+# fastest). PROFILE_r03c measured only 59% of tile-granular marched work as
+# useful; bands cut the march/search trip count from the tile max toward the
+# per-band max. S=1 reproduces whole-tile behaviour exactly.
+_SUBTILE = int(_os.environ.get("GSJAX_SUBTILE", "1") or 1)
 
 # Median-depth root finder: "newton" (safeguarded Newton, default after the
 # 2026-08-19 A/B) or "bisect" (the reference-equivalent 3*split_iterations-bit
@@ -151,12 +161,17 @@ _NEWTON_ITERS = int(_os.environ.get("GSJAX_MEDIAN_NEWTON_ITERS", "7") or 7)
 _BWD_MEDIAN_SKIP = _os.environ.get("GSJAX_BWD_MEDIAN_SKIP", "1") not in ("0", "")
 # Median-model chunk-cache slots (x 4 planes x [G, P] f32 VMEM each).
 _MEDIAN_SLOTS = int(_os.environ.get("GSJAX_MEDIAN_SLOTS", "16") or 16)
-# Evaluation sweep flavour when the cache covers every chunk: "flat"
-# (straight-line cached math, no per-chunk switch) or "switch".
-_MEDIAN_EVAL = _os.environ.get("GSJAX_MEDIAN_EVAL", "switch")
+# Evaluation sweep flavour when the cache covers every chunk:
+#   "compact" — classification moves varying chunks' planes into the leading
+#               cache slots; every evaluation sweep is straight-line math over
+#               ONLY the varying chunks (no per-chunk dispatch at all);
+#   "switch"  — per-chunk lax.switch (skip / recompute / cached);
+#   "flat"    — straight-line cached math over EVERY chunk (measured 2.5x
+#               worse than switch: most chunks are constant).
+_MEDIAN_EVAL = _os.environ.get("GSJAX_MEDIAN_EVAL", "compact")
 
 
-def _quad_basis(t, tiles_x, cfg: RasterConfig):
+def _quad_basis(t, tiles_x, cfg: RasterConfig, s=0, p_sub=None):
     """bf16 quadratic pixel basis of tile t + its centre offset.
 
     Rows of B [8, P]: [1, xl, yl, xl^2, xl*yl, yl^2, 0, 0] in TILE-CENTRED
@@ -166,13 +181,13 @@ def _quad_basis(t, tiles_x, cfg: RasterConfig):
     power/t_val matmuls; only the per-gaussian coefficients are split into
     bf16 hi/lo(/mid) passes (`_Chunk`)."""
     tile = cfg.tile
-    p = cfg.pixels_per_tile
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    p_sub = cfg.pixels_per_tile if p_sub is None else p_sub
+    lin = s * p_sub + jax.lax.broadcasted_iota(jnp.int32, (1, p_sub), 1)
     half = _f32(tile / 2)
     xl = (lin % tile).astype(_f32) - half               # [-t/2, t/2)
     yl = (lin // tile).astype(_f32) - half
-    one = jnp.ones((1, p), _f32)
-    zero = jnp.zeros((1, p), _f32)
+    one = jnp.ones((1, p_sub), _f32)
+    zero = jnp.zeros((1, p_sub), _f32)
     b = jnp.concatenate(
         [one, xl, yl, xl * xl, xl * yl, yl * yl, zero, zero], axis=0)
     cx = ((t % tiles_x) * tile).astype(_f32) + half
@@ -307,6 +322,46 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
     if cached_n is None:
         cached_n = jnp.int32(0)
 
+    fully_cached = cfg.max_per_tile // G <= cache.shape[0]
+    compact = _MEDIAN_EVAL == "compact" and fully_cached
+    # flat evaluation: when the march cache covers every chunk, the
+    # classification pass has already zeroed the am/log1p planes of culled
+    # elements AND of fully-constant chunks, so their contribution is
+    # exactly 0 — the per-chunk lax.switch (skip/recompute/cached) can be
+    # dropped and every sweep is straight-line cached math. A/B knob
+    # GSJAX_MEDIAN_EVAL=compact|flat|switch.
+    flat = _MEDIAN_EVAL == "flat" and fully_cached
+
+    def pre_body_compact(c, carry):
+        # Compacting classification: varying chunks' (culled) planes move to
+        # the leading cache slots kv=0..n_var-1, so every evaluation sweep
+        # below is straight-line math over ONLY the varying chunks — no
+        # per-chunk dispatch. Safe in place: kv <= c always, and slot kv's
+        # original march planes belong to an already-classified chunk.
+        # Requires the march cache to cover every chunk (fully_cached; the
+        # early-exit bound gives nc_chunks <= c_end <= n_slots).
+        lf_c, kv = carry
+        am = cache[c, 0]
+        tv = cache[c, 1]
+        rs = cache[c, 2]
+        l1m = jnp.log1p(-am)
+        active = am > 0
+        margin = jnp.where(rs > 0, 5.0 / jnp.where(rs > 0, rs, 1.0), 0.0)
+        behind_all = active & (tv + margin < d_min)
+        ahead_all = tv - margin > d_max
+        varying = active & ~behind_all & ~ahead_all
+        lfc = jnp.sum(jnp.where(behind_all, l1m, 0.0), axis=0, keepdims=True)
+        anyv = jnp.any(varying)
+
+        @pl.when(anyv)
+        def _():
+            cache[kv, 0] = jnp.where(varying, am, 0.0)
+            cache[kv, 1] = tv
+            cache[kv, 2] = rs
+            cache[kv, 3] = jnp.where(varying, l1m, 0.0)
+
+        return (lf_c + lfc, kv + anyv.astype(jnp.int32))
+
     def pre_body(c, lf_const):
         use_cache = c < cached_n
 
@@ -361,16 +416,13 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
 
         return lf_const + lfc
 
-    lf_const = jax.lax.fori_loop(0, nc_chunks, pre_body, zero)
-
-    # flat evaluation: when the march cache covers every chunk, the
-    # classification pass has already zeroed the am/log1p planes of culled
-    # elements AND of fully-constant chunks, so their contribution is
-    # exactly 0 — the per-chunk lax.switch (skip/recompute/cached) can be
-    # dropped and every sweep is straight-line cached math. A/B knob
-    # GSJAX_MEDIAN_EVAL=flat|switch.
-    flat = (_MEDIAN_EVAL == "flat"
-            and cfg.max_per_tile // G <= cache.shape[0])
+    if compact:
+        lf_const, n_var = jax.lax.fori_loop(
+            0, nc_chunks, pre_body_compact, (zero, jnp.int32(0)))
+        n_eval = n_var
+    else:
+        lf_const = jax.lax.fori_loop(0, nc_chunks, pre_body, zero)
+        n_eval = nc_chunks
 
     def eval_t(ts, want_d=False):
         """log T(ts) [1,P]; with want_d also d(log T)/dt for Newton."""
@@ -444,8 +496,8 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
             return jax.lax.switch(jnp.minimum(flag, 2),
                                   [skip, recompute, cached], carry)
 
-        lt, dt = jax.lax.fori_loop(0, nc_chunks, body_flat if flat else body,
-                                   (zero, zero))
+        lt, dt = jax.lax.fori_loop(
+            0, n_eval, body_flat if (flat or compact) else body, (zero, zero))
         return lf_const + lt, dt
 
     l_lo, _ = eval_t(d_min)
@@ -531,23 +583,29 @@ def _start_copy(feats_hbm, starts_ref, list_buf, sem, tile_idx, slot, mpt):
 
 def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
                 out_ref, list_buf, sem, flags, cache, *, cfg: RasterConfig,
-                tiles_x: int, n_tiles: int):
+                tiles_x: int, n_tiles: int, n_sub: int):
     t = pl.program_id(0)
-    p = cfg.pixels_per_tile
+    s = pl.program_id(1)                         # pixel band (fastest dim)
+    p = cfg.pixels_per_tile // n_sub
     mpt = cfg.max_per_tile
     fx, fy = cam_ref[0], cam_ref[1]
     width, height = cam_ref[5], cam_ref[6]
 
-    @pl.when(t == 0)
+    # the tile's pair list is DMA'd ONCE and shared by its n_sub bands:
+    # fetched ahead at the previous tile's first band, waited at band 0
+    @pl.when((t == 0) & (s == 0))
     def _():
         _start_copy(feats_hbm, starts_ref, list_buf, sem, 0, 0, mpt).start()
 
-    @pl.when(t + 1 < n_tiles)
+    @pl.when((t + 1 < n_tiles) & (s == 0))
     def _():
         _start_copy(feats_hbm, starts_ref, list_buf, sem, t + 1,
                     (t + 1) % 2, mpt).start()
 
-    _start_copy(feats_hbm, starts_ref, list_buf, sem, t, t % 2, mpt).wait()
+    @pl.when(s == 0)
+    def _():
+        _start_copy(feats_hbm, starts_ref, list_buf, sem, t, t % 2,
+                    mpt).wait()
     buf = list_buf.at[t % 2]                     # [16, mpt]
     # tiles can hold more pairs than the static cap; marching past mpt
     # would read outside list_buf (and the backward would write outside
@@ -555,9 +613,10 @@ def _fwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
     # fixed max_per_tile//chunk trip count
     count = jnp.minimum(counts_ref[t], mpt)
 
-    px, py = _pixel_rows(tileids_ref[t], tiles_x, cfg)
+    px, py = _pixel_rows(tileids_ref[t], tiles_x, cfg, s, p)
     eye = _eye16()
-    basis = _quad_basis(tileids_ref[t], tiles_x, cfg) if _QUAD_MXU else None
+    basis = _quad_basis(tileids_ref[t], tiles_x, cfg, s, p) \
+        if _QUAD_MXU else None
     n_chunks = (count + G - 1) // G
     tmin = _f32(cfg.transmittance_min)
 
@@ -649,24 +708,27 @@ def _fwd_call(feats_t, tile_ids, starts, counts, cam_params,
               cfg: RasterConfig, tiles_x: int, n_tiles: int,
               interpret: bool):
     p = cfg.pixels_per_tile
+    n_sub = _SUBTILE if p % max(_SUBTILE, 1) == 0 else 1
+    p_sub = p // n_sub
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_sub),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, _F, p), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, _F, p_sub), lambda t, s, *_: (t, 0, s),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, _F, cfg.max_per_tile), _f32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((cfg.max_per_tile // G,), jnp.int32),
             # median-model chunk cache, filled by the blend march (slot =
-            # chunk index); 16 slots x 4 planes x [G, P] f32 = 32 MB VMEM
-            # covers every chunk at max_per_tile 2048
+            # chunk index); 16 slots x 4 planes x [G, P/S] f32 covers every
+            # chunk at max_per_tile 2048 (32 MB VMEM at S=1)
             pltpu.VMEM((min(_MEDIAN_SLOTS, cfg.max_per_tile // G), 4, G,
-                        cfg.pixels_per_tile), _f32),
+                        p_sub), _f32),
         ],
     )
-    kernel = partial(_fwd_kernel, cfg=cfg, tiles_x=tiles_x, n_tiles=n_tiles)
+    kernel = partial(_fwd_kernel, cfg=cfg, tiles_x=tiles_x, n_tiles=n_tiles,
+                     n_sub=n_sub)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -682,32 +744,40 @@ def _fwd_call(feats_t, tile_ids, starts, counts, cam_params,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
-                res_ref, g_ref, dout_hbm, list_buf, sem, dbuf, dsem, *,
-                cfg: RasterConfig, tiles_x: int, n_tiles: int):
+                res_ref, g_ref, dout_hbm, list_buf, sem, acc, fsem, *,
+                cfg: RasterConfig, tiles_x: int, n_tiles: int, n_sub: int):
     """Gradients w.r.t. the per-pair features of one tile.
 
-    res_ref/g_ref: [1, 16, P] forward output block and its cotangent.
-    dout_hbm: [16, K_pad] feature-major grads (same layout as feats); each
-    chunk's [16, G] block is DMA'd straight to its (aligned, disjoint)
-    slice — no regather pass.
+    res_ref/g_ref: [1, 16, P/S] forward output band and its cotangent.
+    dout_hbm: [16, K_pad] feature-major grads (same layout as feats).
+    Bands accumulate chunk grads into the [16, mpt] VMEM accumulator; the
+    last band flushes the tile's whole (aligned) window with ONE DMA whose
+    immediate wait keeps flushes in tile order — the window's zero overhang
+    into later tiles' slices is overwritten by their own flushes (the
+    sample kernel's flush pattern, sample_pallas._sbwd_kernel).
     """
     t = pl.program_id(0)
-    p = cfg.pixels_per_tile
+    s = pl.program_id(1)                         # pixel band (fastest dim)
+    p = cfg.pixels_per_tile // n_sub
     mpt = cfg.max_per_tile
     fx, fy = cam_ref[0], cam_ref[1]
     width, height = cam_ref[5], cam_ref[6]
     bg0, bg1, bg2 = cam_ref[2], cam_ref[3], cam_ref[4]
 
-    @pl.when(t == 0)
+    @pl.when((t == 0) & (s == 0))
     def _():
         _start_copy(feats_hbm, starts_ref, list_buf, sem, 0, 0, mpt).start()
 
-    @pl.when(t + 1 < n_tiles)
+    @pl.when((t + 1 < n_tiles) & (s == 0))
     def _():
         _start_copy(feats_hbm, starts_ref, list_buf, sem, t + 1,
                     (t + 1) % 2, mpt).start()
 
-    _start_copy(feats_hbm, starts_ref, list_buf, sem, t, t % 2, mpt).wait()
+    @pl.when(s == 0)
+    def _():
+        _start_copy(feats_hbm, starts_ref, list_buf, sem, t, t % 2,
+                    mpt).wait()
+        acc[:, :] = jnp.zeros((_F, mpt), _f32)
     buf = list_buf.at[t % 2]
     # tiles can hold more pairs than the static cap; marching past mpt
     # would read outside list_buf (and the backward would write outside
@@ -715,15 +785,12 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
     # fixed max_per_tile//chunk trip count
     count = jnp.minimum(counts_ref[t], mpt)
 
-    px, py = _pixel_rows(tileids_ref[t], tiles_x, cfg)
+    px, py = _pixel_rows(tileids_ref[t], tiles_x, cfg, s, p)
     eye = _eye16()
     tri = _tri_strict()
-    basis = _quad_basis(tileids_ref[t], tiles_x, cfg) if _QUAD_MXU else None
+    basis = _quad_basis(tileids_ref[t], tiles_x, cfg, s, p) \
+        if _QUAD_MXU else None
     start = starts_ref[t]
-
-    def d_copy(c, slot):
-        dst = dout_hbm.at[:, pl.ds(pl.multiple_of(start + c * G, G), G)]
-        return pltpu.make_async_copy(dbuf.at[slot], dst, dsem.at[slot])
 
     # --- per-pixel rows from residuals + cotangents --------------------------
     res = res_ref[0]                                # [16, P]
@@ -860,12 +927,9 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
             d_gx, d_gy, d_ca, d_cb, d_cc, d_op, d_cn[:, 0:3],
             d_rp0, d_rp1, d_tc, d_rsig, d_cn[:, 3:6]], axis=1)   # [G, 16]
 
-        slot = c % 2
-        @pl.when(c >= 2)
-        def _():
-            d_copy(c - 2, slot).wait()
-        dbuf[slot] = _dot(eye, d_all, ((1,), (1,)))              # [16, G]
-        d_copy(c, slot).start()
+        o = pl.multiple_of(c * G, G)
+        acc[:, pl.ds(o, G)] = acc[:, pl.ds(o, G)] + \
+            _dot(eye, d_all, ((1,), (1,)))                       # [16, G]
 
         t_row = jnp.minimum(
             t_row, jnp.min(jnp.where(keep, t_incl, 2.0), axis=0, keepdims=True))
@@ -879,62 +943,47 @@ def _bwd_kernel(tileids_ref, starts_ref, counts_ref, cam_ref, feats_hbm,
         return (c < n_chunks) & (jnp.max(t_row) >= tmin)
 
     row0 = jnp.zeros((1, p), _f32)
-    c_end, _, _ = jax.lax.while_loop(
+    jax.lax.while_loop(
         cond_fn, body, (jnp.int32(0), jnp.ones((1, p), _f32), row0))
 
-    # drain in-flight stores, then zero-fill early-exited chunks (their pairs
-    # are real slots of this tile whose gradients are identically zero)
-    @pl.when(c_end >= 2)
+    # last band: flush the tile's whole window (early-exited chunks' slots
+    # hold the zeros they were initialised with — their pairs' gradients
+    # are identically zero)
+    @pl.when((s == n_sub - 1) & (n_chunks > 0))
     def _():
-        d_copy(c_end - 2, c_end % 2).wait()
-
-    @pl.when(c_end >= 1)
-    def _():
-        d_copy(c_end - 1, (c_end - 1) % 2).wait()
-
-    def zfill(c, acc):
-        slot = c % 2
-        @pl.when(c >= c_end + 2)
-        def _():
-            d_copy(c - 2, slot).wait()
-        dbuf[slot] = jnp.zeros((_F, G), _f32)
-        d_copy(c, slot).start()
-        return acc
-
-    jax.lax.fori_loop(c_end, n_chunks, zfill, 0)
-
-    @pl.when(n_chunks > c_end)
-    def _():
-        d_copy(n_chunks - 1, (n_chunks - 1) % 2).wait()
-
-    @pl.when(n_chunks > c_end + 1)
-    def _():
-        d_copy(n_chunks - 2, (n_chunks - 2) % 2).wait()
+        cpc = pltpu.make_async_copy(
+            acc, dout_hbm.at[:, pl.ds(pl.multiple_of(start, G), mpt)],
+            fsem.at[0])
+        cpc.start()
+        cpc.wait()
 
 
 def _bwd_call(feats_t, tile_ids, starts, counts, cam_params, res, g_out,
               cfg: RasterConfig, tiles_x: int, n_tiles: int, interpret: bool):
     p = cfg.pixels_per_tile
     mpt = cfg.max_per_tile
+    n_sub = _SUBTILE if p % max(_SUBTILE, 1) == 0 else 1
+    p_sub = p // n_sub
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_sub),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, _F, p), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, _F, p_sub), lambda t, s, *_: (t, 0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _F, p), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, _F, p_sub), lambda t, s, *_: (t, 0, s),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, _F, mpt), _f32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, _F, G), _f32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_F, mpt), _f32),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
     )
-    kernel = partial(_bwd_kernel, cfg=cfg, tiles_x=tiles_x, n_tiles=n_tiles)
+    kernel = partial(_bwd_kernel, cfg=cfg, tiles_x=tiles_x, n_tiles=n_tiles,
+                     n_sub=n_sub)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -956,7 +1005,9 @@ def blend_pallas(feats_t, tile_ids, starts, counts, cam_params,
     """Differentiable tile blend. feats_t: [16, K_pad] from pack_features_t.
     tile_ids: [T_local] global tile ids (iota when rendering the full frame;
     a device-local subset under shard_map). starts/counts index the pair
-    buffer per entry of tile_ids. cam_params: [8] f32 =
+    buffer per entry of tile_ids; `starts` must be ascending (binning.py's
+    aligned layout) — the backward's full-window tile flushes rely on later
+    tiles overwriting earlier tiles' zero overhang. cam_params: [8] f32 =
     [fx, fy, bg0, bg1, bg2, width, height, 0].
     Returns [T_local, 16, P] (module docstring for rows); rows 8+ non-diff."""
     return _fwd_call(feats_t, tile_ids, starts, counts, cam_params, cfg,

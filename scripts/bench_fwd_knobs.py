@@ -62,11 +62,16 @@ def main():
         render_ref.prepare_pairs(p, b, cfg), cfg))(prep, binning)
 
     results = {}
-    for slots, niters, impl, ev in [(16, 7, "newton", "switch"),
-                                    (16, 7, "newton", "flat"),
-                                    (8, 7, "newton", "switch"),
-                                    (16, 5, "newton", "switch"),
-                                    (16, 7, "bisect", "flat")]:
+    default_lad = [(16, 7, "newton", "switch"),
+                   (16, 7, "newton", "flat"),
+                   (8, 7, "newton", "switch"),
+                   (16, 5, "newton", "switch"),
+                   (16, 7, "bisect", "flat")]
+    compact_lad = [(16, 7, "newton", "compact"),
+                   (16, 7, "newton", "switch")]
+    lad = compact_lad if os.environ.get("KNOBS", "") == "compact" \
+        else default_lad
+    for slots, niters, impl, ev in lad:
         rp._MEDIAN_SLOTS = slots
         rp._NEWTON_ITERS = niters
         rp._MEDIAN_IMPL = impl
