@@ -260,19 +260,36 @@ def _sbwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, res_hbm_spec,
         a, a_raw, passes = ch.alpha(cfg, rel, count)
         m_applied = passes & (rel < n_contrib)
         am = jnp.where(m_applied, a, 0.0)
-        _, hg, om, behind, delta, rsig = _median_model(ch, am, m_t)
-        sgn = jnp.where(behind, 1.0, -1.0)
-        half_r = 0.5 / om
-        dlf_da = jnp.where(behind, -1.0 / (1.0 - am) + half_r * hg,
-                           -half_r * hg)
-        dlf_dg = sgn * half_r * am
-        d_a = jnp.where(m_applied, s_pix * dlf_da, 0.0)
-        d_tp = jnp.where(m_applied, s_pix * dlf_dg * hg * delta * rsig, 0.0)
-        d_rsig = _col_sum(jnp.where(
-            m_applied & (rsig > 0),
-            s_pix * dlf_dg * (-hg * delta * delta /
-                              jnp.where(rsig > 0, rsig, 1.0)),
-            0.0))
+
+        def md_full(_):
+            _, hg, om, behind, delta, rsig = _median_model(ch, am, m_t)
+            sgn = jnp.where(behind, 1.0, -1.0)
+            half_r = 0.5 / om
+            dlf_da = jnp.where(behind, -1.0 / (1.0 - am) + half_r * hg,
+                               -half_r * hg)
+            dlf_dg = sgn * half_r * am
+            d_ax = jnp.where(m_applied, s_pix * dlf_da, 0.0)
+            d_tpx = jnp.where(m_applied,
+                              s_pix * dlf_dg * hg * delta * rsig, 0.0)
+            d_rsigx = _col_sum(jnp.where(
+                m_applied & (rsig > 0),
+                s_pix * dlf_dg * (-hg * delta * delta /
+                                  jnp.where(rsig > 0, rsig, 1.0)),
+                0.0))
+            return d_ax, d_tpx, d_rsigx
+
+        def md_far(_):
+            # every applied gaussian is >= 5 sigma from the root: hg
+            # vanishes, leaving the constant log1p(-a) term of gaussians
+            # BEHIND the root (render_pallas._bwd_kernel's md_far analogue)
+            behind = m_t > ch.t_val
+            d_ax = jnp.where(m_applied & behind, -s_pix / (1.0 - am), 0.0)
+            return (d_ax, jnp.zeros_like(d_ax), jnp.zeros((G, 1), _f32))
+
+        rsig_c = ch.col(12)
+        near = m_applied & (rsig_c > 0) & \
+            (jnp.abs(m_t - ch.t_val) * rsig_c < 5.0)
+        d_a, d_tp, d_rsig = jax.lax.cond(jnp.any(near), md_full, md_far, 0)
 
         notclamped = a_raw < cfg.alpha_clamp
         d_pow = jnp.where(notclamped, d_a * a, 0.0)
@@ -324,26 +341,27 @@ def _sbwd_kernel(gs_ref, gc_ref, ps_ref, feats_hbm, pts_hbm, res_hbm_spec,
     dcp.start()
     dcp.wait()
 
-    # flush the tile accumulator when the next round belongs to a new tile
+    # flush the tile accumulator when the next round belongs to a new tile.
+    # ONE full-window DMA: slots past this tile's chunks hold zeros (acc is
+    # zero-reset per tile and gbody writes only marched chunks), and the
+    # window's overhang into LATER tiles' (ascending, still-unflushed)
+    # slices is overwritten by their own full-window flushes — the wait is
+    # immediate, so flushes land in tile order. Replaces up to mpt/G
+    # serialized 8 KB chunk DMAs per tile.
     is_last = r + 1 >= n_rounds
-    next_gs = gs_ref[jnp.minimum(r + 1, n_rounds - 1)]
-    tile_done = jnp.logical_or(is_last, next_gs != gs_ref[r])
+    nxt = jnp.minimum(r + 1, n_rounds - 1)
+    # dead rounds carry gs=0 — if the ONLY live tile also starts at 0 the
+    # gs comparison alone would miss the flush; their gc=0 disambiguates
+    tile_done = is_last | (gs_ref[nxt] != gs_ref[r]) | (gc_ref[nxt] == 0)
     tile_chunks = (count + G - 1) // G
 
     @pl.when(tile_done & (tile_chunks > 0))
     def _():
         start = pl.multiple_of(gs_ref[r], G)
-
-        def flush(c, _):
-            cpc = pltpu.make_async_copy(
-                acc.at[:, pl.ds(pl.multiple_of(c * G, G), G)],
-                dfeats_hbm.at[:, pl.ds(pl.multiple_of(start + c * G, G), G)],
-                fsem.at[0])
-            cpc.start()
-            cpc.wait()
-            return 0
-
-        jax.lax.fori_loop(0, tile_chunks, flush, 0)
+        cpc = pltpu.make_async_copy(
+            acc, dfeats_hbm.at[:, pl.ds(start, mpt)], fsem.at[0])
+        cpc.start()
+        cpc.wait()
 
 
 def _sbwd_call(feats_t, pts_rows, gs, gc, ps, res, g_out, cfg: RasterConfig,

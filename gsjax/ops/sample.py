@@ -233,10 +233,18 @@ def _rounds_pallas(feats_pairs, binning, sorted_q, pt_start, pt_end,
 
     integrate = mode == _QueryMode.INTEGRATE
     cols = [px, py] + ([t_ray] if integrate else [])
-    packed_sorted = barrier(jnp.stack(cols, axis=1)[sorted_q])   # [Q, 2|3]
-    packed_al = jnp.where(valid_al[:, None],
-                          barrier(packed_sorted[src_safe]), 0.0)
-    tgt_al = jnp.where(valid_al, barrier(sorted_q[src_safe]), q)
+    # fused layout gather: aligned slot -> original point index (one 1-d
+    # gather), then ONE row-gather of the packed coords by that index —
+    # instead of gathering [Q] rows into sorted order first and re-gathering
+    # by src. These 2M-row gathers are latency-bound (~23 ms each measured,
+    # REG_PROFILE.json), so each eliminated pass is a direct win, forward
+    # (gather) and backward (its scatter-add VJP) alike.
+    tgt_raw = barrier(sorted_q[src_safe])              # [q_al]
+    packed = barrier(jnp.stack(cols, axis=1))          # [Q, 2|3]
+    packed_al = jnp.where(
+        valid_al[:, None],
+        barrier(packed[jnp.where(valid_al, tgt_raw, 0)]), 0.0)
+    tgt_al = jnp.where(valid_al, tgt_raw, q)
     ncols = packed_al.shape[1]
     pts_rows = jnp.pad(packed_al.T, ((0, 4 - ncols), (0, p_round)))
 
@@ -269,8 +277,10 @@ def _rounds_pallas(feats_pairs, binning, sorted_q, pt_start, pt_end,
         out = sample_pallas.sample_depth_pallas(
             feats_t, pts_rows, round_gs, round_gc, round_ps, cfg, r_cap,
             p_round, interpret)
-    val_r = out[:, 0, :].reshape(-1)                   # [R*P] round-major
-    flag_r = jax.lax.stop_gradient(out[:, 1, :]).reshape(-1)
+    # value+flag as one [R*P, 2] row table: the back-permutation costs ONE
+    # row-gather + ONE row-scatter instead of two of each (latency-bound,
+    # see the fused layout gather above)
+    vf_r = jnp.moveaxis(out[:, 0:2, :], 1, 2).reshape(-1, 2)
 
     # Aligned slot -> (round, offset). Adjacent tiles' round windows can
     # overlap (a round is p_round wide, a tile's aligned slice may be
@@ -279,12 +289,11 @@ def _rounds_pallas(feats_pairs, binning, sorted_q, pt_start, pt_end,
     local = ids - sa
     flat = (spread_al(r_exc) + local // p_round) * p_round + local % p_round
     flat = jnp.where(valid_al, flat, 0)
-    val_al = jnp.where(valid_al, barrier(val_r[flat]), 0.0)
-    flag_al = jnp.where(valid_al, barrier(flag_r[flat]), 0.0)
-
-    val = barrier(jnp.zeros((q,)).at[tgt_al].set(val_al, mode="drop"))
-    flag = barrier(jnp.zeros((q,)).at[tgt_al].set(flag_al, mode="drop"))
-    return val, flag
+    vf_al = jnp.where(valid_al[:, None], barrier(vf_r[flat]), 0.0)
+    vf = barrier(jnp.zeros((q, 2)).at[tgt_al].set(vf_al, mode="drop"))
+    # flag cotangents land on out row 1, which the kernel vjp ignores
+    # (rows 1+ are non-differentiable residuals)
+    return vf[:, 0], jax.lax.stop_gradient(vf[:, 1])
 
 
 def _rounds_xla(feats_pairs, binning, sorted_q, pt_start, pt_end,
