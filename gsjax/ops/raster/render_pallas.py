@@ -147,7 +147,10 @@ _QUAD_MXU = int(_os.environ.get("GSJAX_QUAD_MXU", "0") or 0)
 # pair list is DMA'd once and shared by its bands (grid = (tiles, S), band
 # fastest). PROFILE_r03c measured only 59% of tile-granular marched work as
 # useful; bands cut the march/search trip count from the tile max toward the
-# per-band max. S=1 reproduces whole-tile behaviour exactly.
+# per-band max. MEASURED AND REJECTED on TPU (2026-08-20, 1080p/100k):
+# fwd 88.8/91.8/105/154 ms and bwd 87.5/97.8/122/198 ms at S=1/2/4/8 — the
+# per-band chunk re-construction + dispatch overhead outweighs the saved
+# marched work at every S. Kept as a knob; S=1 (whole tile) is the default.
 _SUBTILE = int(_os.environ.get("GSJAX_SUBTILE", "1") or 1)
 
 # Median-depth root finder: "newton" (safeguarded Newton, default after the
@@ -155,7 +158,9 @@ _SUBTILE = int(_os.environ.get("GSJAX_SUBTILE", "1") or 1)
 # bisection, render_forward.cu:535-645). Both solve T(t*)=0.5 on the same
 # bracket; newton converges past bisect's resolution in fewer evaluations.
 _MEDIAN_IMPL = _os.environ.get("GSJAX_MEDIAN_IMPL", "newton")
-_NEWTON_ITERS = int(_os.environ.get("GSJAX_MEDIAN_NEWTON_ITERS", "7") or 7)
+# 6 with the log-linear secant initial iterate (2026-08-20): the better
+# start buys one iteration at the same sample-vs-XLA parity bound (5 fails)
+_NEWTON_ITERS = int(_os.environ.get("GSJAX_MEDIAN_NEWTON_ITERS", "6") or 6)
 # Backward: skip the per-chunk median-model math when every applied gaussian
 # of the chunk sits >= 5 sigma from the root (cheap constant-term path).
 _BWD_MEDIAN_SKIP = _os.environ.get("GSJAX_BWD_MEDIAN_SKIP", "1") not in ("0", "")
@@ -507,14 +512,22 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
 
     if _MEDIAN_IMPL == "newton":
         # Safeguarded Newton on f(t) = log T(t) - log(1/2): T is smooth and
-        # monotone decreasing over the bracket, so Newton from the bracket
-        # midpoint converges quadratically; steps that leave the current
-        # bracket (or hit a flat spot, where the implicit-function backward
-        # is zeroed anyway) fall back to bisection. Profiled 2026-08-19:
-        # the 17 bisection evaluations were ~64 ms of the 97 ms forward at
-        # 1080p; Newton reaches far below the bisection's 2^-15 resolution
-        # in _NEWTON_ITERS evaluations (each ~1.3x for the derivative).
+        # monotone decreasing over the bracket, so Newton converges
+        # quadratically; steps that leave the current bracket (or hit a
+        # flat spot, where the implicit-function backward is zeroed anyway)
+        # fall back to bisection. Profiled 2026-08-19: the 17 bisection
+        # evaluations were ~64 ms of the 97 ms forward at 1080p; Newton
+        # reaches far below the bisection's 2^-15 resolution in
+        # _NEWTON_ITERS evaluations (each ~1.3x for the derivative).
+        # The initial iterate is the log-linear secant through the bracket
+        # ends (l_lo/l_hi are already evaluated) — a strictly better start
+        # than the midpoint at zero extra evaluations.
         log_half = float(np.log(0.5))
+        sec_den = l_lo - l_hi
+        w0 = jnp.clip((l_lo - log_half) /
+                      jnp.where(jnp.abs(sec_den) > 1e-20, sec_den, 1e-20),
+                      0.0, 1.0)
+        t_init = d_min + w0 * (d_max - d_min)
 
         def newton(_, carry):
             lo, hi, tl, th, t = carry
@@ -533,7 +546,7 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
 
         d_min, d_max, t_lo, t_hi, _ = jax.lax.fori_loop(
             0, _NEWTON_ITERS, newton,
-            (d_min, d_max, t_lo, t_hi, 0.5 * (d_min + d_max)))
+            (d_min, d_max, t_lo, t_hi, t_init))
     else:
         def bisect(_, carry):
             d_min, d_max, t_lo, t_hi = carry

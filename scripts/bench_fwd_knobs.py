@@ -69,8 +69,26 @@ def main():
                    (16, 7, "bisect", "flat")]
     compact_lad = [(16, 7, "newton", "compact"),
                    (16, 7, "newton", "switch")]
-    lad = compact_lad if os.environ.get("KNOBS", "") == "compact" \
-        else default_lad
+    lad = {"compact": compact_lad}.get(os.environ.get("KNOBS", ""),
+                                       default_lad)
+    if os.environ.get("KNOBS", "") == "subtile":
+        for sub in (1, 2, 4, 8):
+            rp._SUBTILE = sub
+            rp._MEDIAN_EVAL = "compact"
+            fwd = jax.jit(lambda ft, st, ct: rp._fwd_call(
+                ft, tile_ids, st, ct, cam_params, cfg, tiles_x, n_tiles,
+                False))
+            timeit(fwd, (feats_t, binning.tile_start, binning.tile_count),
+                   args.iters, f"fwd subtile={sub} compact", results)
+            bwd = jax.jit(lambda ft, st, ct, res, g: rp._bwd_call(
+                ft, tile_ids, st, ct, cam_params, res, g, cfg, tiles_x,
+                n_tiles, False))
+            res = fwd(feats_t, binning.tile_start, binning.tile_count)
+            g = jnp.ones_like(res)
+            timeit(bwd, (feats_t, binning.tile_start, binning.tile_count,
+                         res, g),
+                   args.iters, f"bwd subtile={sub} compact", results)
+        lad = []
     for slots, niters, impl, ev in lad:
         rp._MEDIAN_SLOTS = slots
         rp._NEWTON_ITERS = niters
