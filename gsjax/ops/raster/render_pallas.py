@@ -158,9 +158,12 @@ _SUBTILE = int(_os.environ.get("GSJAX_SUBTILE", "1") or 1)
 # bisection, render_forward.cu:535-645). Both solve T(t*)=0.5 on the same
 # bracket; newton converges past bisect's resolution in fewer evaluations.
 _MEDIAN_IMPL = _os.environ.get("GSJAX_MEDIAN_IMPL", "newton")
-# 6 with the log-linear secant initial iterate (2026-08-20): the better
-# start buys one iteration at the same sample-vs-XLA parity bound (5 fails)
-_NEWTON_ITERS = int(_os.environ.get("GSJAX_MEDIAN_NEWTON_ITERS", "6") or 6)
+# 7 is the correctness bound: the 2026-08-20 WIP default of 6 (with the
+# log-linear secant initial iterate) FAILED the sample_depth parity tests
+# (value 3.5e-4 vs 2e-5 atol, grads 27% vs the 8% bound) — reverted per the
+# round-3 verdict. The secant start is kept (it refines the first iterate)
+# but does not buy an iteration at the tested parity bound.
+_NEWTON_ITERS = int(_os.environ.get("GSJAX_MEDIAN_NEWTON_ITERS", "7") or 7)
 # Backward: skip the per-chunk median-model math when every applied gaussian
 # of the chunk sits >= 5 sigma from the root (cheap constant-term path).
 _BWD_MEDIAN_SKIP = _os.environ.get("GSJAX_BWD_MEDIAN_SKIP", "1") not in ("0", "")

@@ -67,13 +67,16 @@ def main():
             full[method] = {
                 "PSNR": float(np.mean(psnrs)),
                 "SSIM": float(np.mean(ssims)),
+                # explicit marker (not a bare null): downstream comparisons
+                # must not silently treat a missing metric as 0
                 "LPIPS": (float(np.mean([x for x in lpipss if x is not None]))
-                          if lp_weights else None),
+                          if lp_weights else "weights unavailable"),
             }
             per_view[method] = {
                 "PSNR": dict(zip(names, psnrs)),
                 "SSIM": dict(zip(names, ssims)),
-                "LPIPS": dict(zip(names, lpipss)),
+                "LPIPS": (dict(zip(names, lpipss)) if lp_weights
+                          else "weights unavailable"),
             }
             print(f"  {method}: PSNR {full[method]['PSNR']:.4f} "
                   f"SSIM {full[method]['SSIM']:.4f} LPIPS {full[method]['LPIPS']}")
