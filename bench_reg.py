@@ -63,7 +63,8 @@ def main():
     near = Camera.create(r2, np.asarray([0.15, 0.0, 0.0], np.float32),
                          1.0, 0.66, width, height)
 
-    cfg = RasterConfig(pair_capacity=1 << 21, max_per_tile=1 << 11,
+    cfg = RasterConfig(pair_capacity=1 << 21, live_capacity=1 << 20,
+                       max_per_tile=1 << 11,
                        sh_degree=3, require_depth=True)
     lc = LossConfig(reg_on=True, mv_on=True)
     gt = jnp.asarray(rng.uniform(0, 1, (height, width, 3)).astype(np.float32))

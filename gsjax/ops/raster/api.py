@@ -120,5 +120,6 @@ def render(means3d: jax.Array,
         "radii": prep.radius,
         "visibility": prep.radius > 0,
         "num_pairs": binning.num_pairs,
+        "num_live_pairs": binning.num_live,
         "max_tile_count": binning.max_tile_count,
     }

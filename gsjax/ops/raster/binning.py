@@ -18,6 +18,7 @@ matching the reference backward which treats the binning as constant).
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 
 import jax
@@ -28,6 +29,8 @@ import jax.numpy as jnp
 _FUSED_SORT_KEY = os.environ.get("GSJAX_FUSED_SORT_KEY", "1") not in ("0", "")
 # aligned re-layout of gauss ids via scatter-from-sorted vs monotone gather
 _SCATTER_LAYOUT = os.environ.get("GSJAX_SCATTER_LAYOUT", "1") not in ("0", "")
+# exact ellipse-tile cull of provably-dead rect pairs (A/B knob)
+_ELLIPSE_CULL = os.environ.get("GSJAX_ELLIPSE_CULL", "1") not in ("0", "")
 
 from gsjax.ops.raster.config import RasterConfig
 from gsjax.ops.raster.preprocess import Preprocessed
@@ -40,7 +43,10 @@ class Binning:
     pair_valid: jax.Array   # [K_al] bool
     tile_start: jax.Array   # [T] int32 aligned offset of each tile's slice
     tile_count: jax.Array   # [T] int32 number of real pairs in each tile
-    num_pairs: jax.Array    # [] int32 total real pairs (for capacity monitoring)
+    num_pairs: jax.Array    # [] int32 total enumerated pairs (expansion
+    #                             buffer watermark, includes culled)
+    num_live: jax.Array     # [] int32 post-cull pairs (aligned-layout
+    #                             watermark, live_capacity monitoring)
     max_tile_count: jax.Array  # [] int32 (for max_per_tile monitoring)
 
 
@@ -91,22 +97,72 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
         jnp.where(touched > 0, starts_exc, k)].set(g_ids, mode="drop")
     g = barrier(jax.lax.cummax(barrier(mark)))
 
-    # one packed row-gather instead of 5 scalar gathers (TPU gathers are
-    # per-row; all values fit exactly in f32)
+    # one packed row-gather instead of 11 scalar gathers (TPU gathers are
+    # per-row; all values fit exactly in f32). Columns 5..10 feed the exact
+    # ellipse-tile cull below.
+    sg = jax.lax.stop_gradient
     packed = barrier(jnp.stack([
         starts_exc.astype(jnp.float32),
         prep.rect_min[:, 0].astype(jnp.float32),
         rect_y0.astype(jnp.float32),
         jnp.maximum(prep.rect_wh[:, 0], 1).astype(jnp.float32),
-        jax.lax.stop_gradient(prep.depth),
-    ], axis=1)[g])                                 # [K,5]
+        sg(prep.depth),
+        sg(prep.mean2d[:, 0]),
+        sg(prep.mean2d[:, 1]),
+        sg(prep.conic[:, 0]),
+        sg(prep.conic[:, 1]),
+        sg(prep.conic[:, 2]),
+        sg(prep.opacity),
+    ], axis=1)[g])                                 # [K,11]
     j = p_ids - packed[:, 0].astype(jnp.int32)     # rank within g's rect
     w = packed[:, 3].astype(jnp.int32)
     ty = packed[:, 2].astype(jnp.int32) + j // w
     tx = packed[:, 1].astype(jnp.int32) + j % w
     tile = ty * tiles_x + tx
 
+    # --- exact ellipse-tile cull --------------------------------------------
+    # Rect binning (getRect, the reference's scheme) enumerates every tile of
+    # the gaussian's bounding rect; for large/anisotropic gaussians much of
+    # the rect never reaches alpha_min. A pair is provably dead iff the MIN
+    # of q(dx,dy) = 0.5*ca*dx^2 + cb*dx*dy + 0.5*cc*dy^2 over the tile's
+    # pixel box exceeds ln(op/alpha_min) — then every pixel of the tile
+    # fails the kernels' `passes` test (alpha < alpha_min) and the pair
+    # contributes exactly zero forward AND backward. q is PSD with its only
+    # critical point at the centre, so the box min is 0 if the centre is
+    # inside, else the min over the 4 edges (each a clamped 1-D quadratic).
+    # The 1e-3 margin keeps pairs within f32 evaluation-order noise of the
+    # threshold, so kernel outputs are bit-identically unaffected.
+    gx, gy = packed[:, 5], packed[:, 6]
+    ca, cb, cc = packed[:, 7], packed[:, 8], packed[:, 9]
+    op = packed[:, 10]
+    txp = (tx * cfg.tile).astype(jnp.float32)
+    typ = (ty * cfg.tile).astype(jnp.float32)
+    ax = gx - (txp + cfg.tile - 1)                 # dx = gx - px range
+    bx = gx - txp
+    ay = gy - (typ + cfg.tile - 1)
+    by = gy - typ
+    ca_s = jnp.maximum(ca, 1e-12)
+    cc_s = jnp.maximum(cc, 1e-12)
+
+    def q_at(dx, dy):
+        return 0.5 * ca * dx * dx + cb * dx * dy + 0.5 * cc * dy * dy
+
+    def edge_x(dxf):                               # min over dy at fixed dx
+        return q_at(dxf, jnp.clip(-cb * dxf / cc_s, ay, by))
+
+    def edge_y(dyf):
+        return q_at(jnp.clip(-cb * dyf / ca_s, ax, bx), dyf)
+
+    inside = (ax <= 0) & (bx >= 0) & (ay <= 0) & (by >= 0)
+    q_min = jnp.where(inside, 0.0, jnp.minimum(
+        jnp.minimum(edge_x(ax), edge_x(bx)),
+        jnp.minimum(edge_y(ay), edge_y(by))))
+    thr = jnp.log(jnp.maximum(op, 1e-12)) - math.log(cfg.alpha_min)
+    keep_pair = q_min <= thr + 1e-3
+
     pair_valid = p_ids < total
+    if _ELLIPSE_CULL:
+        pair_valid = pair_valid & keep_pair
     key_tile = jnp.where(pair_valid, tile, num_tiles).astype(jnp.int32)
 
     if _FUSED_SORT_KEY:
@@ -145,11 +201,22 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
     # Per-slot source indices come from three monotone scatter-max + cummax
     # "spreads" — NO per-slot table gathers: a [K_al]<-[T] gather lowers to a
     # ~20ms serial loop fusion on TPU, the spreads are bandwidth-bound.
+    # The aligned buffer is sized by live_capacity (<= pair_capacity): the
+    # ellipse cull shrinks the live set ~30%, and every downstream pass
+    # (prepare_pairs gather, pack, the bwd pair-grad buffer and its ~43 ms
+    # scatter) scales with this capacity. While num_live <= live_k the
+    # aligned total fits k_al = live_k + T*align by construction; on
+    # overflow, slice starts clamp to k_al so the kernels' DMA windows stay
+    # inside the (mpt-padded) buffer — overflowing tiles read the zero pad
+    # (alpha 0, zero contribution, memory-safe) for the one step before the
+    # num_live watermark triggers the same bump-retry as pair_capacity.
     align = cfg.align
-    k_al = k + num_tiles * align
-    start_al = jnp.concatenate([
+    live_k = min(cfg.live_capacity or k, k)
+    k_al = live_k + num_tiles * align
+    start_al = jnp.minimum(jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(-(-tile_count // align) * align).astype(jnp.int32)[:-1]])
+        jnp.cumsum(-(-tile_count // align) * align).astype(jnp.int32)[:-1]]),
+        k_al)
 
     def spread(vals):  # vals [T] non-decreasing -> per-slot value
         return barrier(jax.lax.cummax(
@@ -196,5 +263,6 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
         tile_start=start_al,
         tile_count=tile_count,
         num_pairs=total.astype(jnp.int32),
+        num_live=bounds[-1],
         max_tile_count=jnp.max(tile_count),
     )

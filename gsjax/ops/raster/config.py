@@ -26,6 +26,14 @@ class RasterConfig:
     # recompile on overflow (replaces the dynamic `num_rendered` allocation,
     # rasterizer_impl.cu:380-412).
     pair_capacity: int = 1 << 20
+    # Static capacity of the POST-SORT aligned pair layout (None = same as
+    # pair_capacity). The exact ellipse-tile cull (binning.py) drops ~30% of
+    # rect-enumerated pairs before the aligned re-layout, so the aligned
+    # buffer — which sizes prepare_pairs, pack, the blend kernels' gradient
+    # buffer, and the ~43 ms row-granular pair-grad scatter — can be smaller
+    # than the expansion buffer. Overflow is detected via the num_live_pairs
+    # metric and bumped like pair_capacity (train/loop.py).
+    live_capacity: int | None = None
     # Static cap on gaussians blended per tile (chunk-scan trip count).
     max_per_tile: int = 1 << 12
     # Tile-slice alignment in the pair buffer (lane width of the Pallas

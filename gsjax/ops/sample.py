@@ -207,19 +207,34 @@ def _query(points, means3d, scales, rotations, opacities, camera, cfg,
 
 def _rounds_pallas(feats_pairs, binning, sorted_q, pt_start, pt_end,
                    px, py, t_ray, q, num_tiles, cfg, p_round, mode):
-    """Hand-written Pallas point-query path: 128-aligned tile-sorted point
-    layout, one kernel grid step per round (sample_pallas.py)."""
+    """Hand-written Pallas point-query path: tile-sorted 128-aligned point
+    layout with per-round HBM windows over single [rows, Q_al] arrays
+    (sample_pallas.py).
+
+    The round-3 version emitted round-major [R, 8, P] output blocks;
+    SAMPLE_PROFILE.json showed the glue around them (the [R*P] flattening,
+    its flat-index spread + extra gather, the tgt scatter, and all their
+    VJPs) cost several times the kernels themselves. The kernel now
+    reads/writes aligned sorted windows of single arrays directly (foreign
+    overhang lanes masked via the per-round valid count `pc`), so the XLA
+    side is the aligned-slot gathers in and ONE scatter out."""
     barrier = jax.lax.optimization_barrier
     interpret = jax.default_backend() != "tpu"
     a = 128
-    p_round = max(a, -(-p_round // a) * a)             # lane-aligned rounds
+    p_round = max(a, -(-p_round // a) * a)             # lane-aligned width
     pt_count = pt_end - pt_start
-    q_al = -(-q // a) * a + num_tiles * a              # static capacity
 
-    # aligned slot -> tile-sorted slot (binning.py re-layout pattern)
+    # Mosaic requires dynamic HBM window starts on the lane dimension to be
+    # provably 128-divisible, so tile slices stay `a`-aligned: aligned slot
+    # i of tile t reads sorted slot pt_start[t] + (i - astart[t]). The
+    # gather construction below measured ~35 ms at 2M points; the seemingly
+    # leaner scatter construction (dst = s + pad_off spread, one [Q,2] row
+    # scatter) measured ~100 ms — XLA's 2-col f32 row scatter is ~3x the
+    # price of these gathers. Keep the gathers.
     astart = jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
         jnp.cumsum(-(-pt_count // a) * a).astype(jnp.int32)[:-1]])
+    q_al = -(-q // a) * a + num_tiles * a              # static capacity
 
     def spread_al(vals):
         return barrier(jax.lax.cummax(
@@ -233,26 +248,25 @@ def _rounds_pallas(feats_pairs, binning, sorted_q, pt_start, pt_end,
 
     integrate = mode == _QueryMode.INTEGRATE
     cols = [px, py] + ([t_ray] if integrate else [])
-    # fused layout gather: aligned slot -> original point index (one 1-d
-    # gather), then ONE row-gather of the packed coords by that index —
-    # instead of gathering [Q] rows into sorted order first and re-gathering
-    # by src. These 2M-row gathers are latency-bound (~23 ms each measured,
-    # REG_PROFILE.json), so each eliminated pass is a direct win, forward
-    # (gather) and backward (its scatter-add VJP) alike.
+    # layout gathers: aligned slot -> original point index (one 1-d int
+    # gather), then one 1-d f32 gather PER COORDINATE ROW. Strictly 1-d:
+    # the profiler showed [Q,2] row-form gathers/scatters lower to narrow
+    # T(2,128)-tiled kernels (the final 2-col scatter alone was 92 ms of the
+    # 542 ms step; 1-d scatters of the same data are ~12 ms each). Aligned
+    # padding slots keep zeros (and zero cotangents), so the kernel's
+    # garbage math on them is masked for free.
     tgt_raw = barrier(sorted_q[src_safe])              # [q_al]
-    packed = barrier(jnp.stack(cols, axis=1))          # [Q, 2|3]
-    packed_al = jnp.where(
-        valid_al[:, None],
-        barrier(packed[jnp.where(valid_al, tgt_raw, 0)]), 0.0)
-    tgt_al = jnp.where(valid_al, tgt_raw, q)
-    ncols = packed_al.shape[1]
-    pts_rows = jnp.pad(packed_al.T, ((0, 4 - ncols), (0, p_round)))
+    tgt_safe = jnp.where(valid_al, tgt_raw, 0)
+    rows = [jnp.where(valid_al, barrier(c[tgt_safe]), 0.0) for c in cols]
+    rows += [jnp.zeros((q_al,))] * (4 - len(rows))
+    pts_rows = jnp.pad(jnp.stack(rows, axis=0), ((0, 0), (0, p_round)))
 
     # rounds: `p_round` consecutive aligned slots of one tile per grid step
-    rpt = -(-pt_count // p_round)
+    acount = -(-pt_count // a) * a                     # aligned span per tile
+    rpt = -(-acount // p_round)
     r_exc = jnp.cumsum(rpt) - rpt
     r_total = r_exc[-1] + rpt[-1]
-    r_cap = q // p_round + num_tiles + 1               # static grid size
+    r_cap = q_al // p_round + num_tiles + 1            # static grid size
 
     def spread_r(vals):
         return barrier(jax.lax.cummax(
@@ -262,8 +276,9 @@ def _rounds_pallas(feats_pairs, binning, sorted_q, pt_start, pt_end,
     r_ids = jnp.arange(r_cap, dtype=jnp.int32)
     j = r_ids - spread_r(r_exc)
     live = r_ids < r_total
-    round_ps = jnp.where(
-        live, jnp.minimum(spread_r(astart) + j * p_round, q_al), q_al)
+    round_ps = jnp.where(live, spread_r(astart) + j * p_round, 0)
+    round_pc = jnp.where(
+        live, jnp.clip(spread_r(astart + acount) - round_ps, 0, p_round), 0)
     round_gs = jnp.where(live, spread_r(binning.tile_start), 0)
     round_ge = spread_r(binning.tile_start + binning.tile_count)
     round_gc = jnp.where(live, round_ge - round_gs, 0)
@@ -271,29 +286,28 @@ def _rounds_pallas(feats_pairs, binning, sorted_q, pt_start, pt_end,
     feats_t = render_pallas.pack_features_t(feats_pairs, cfg)
     if integrate:
         out = sample_pallas.integrate_pallas(
-            feats_t, pts_rows, round_gs, round_gc, round_ps, cfg, r_cap,
-            p_round, interpret)
+            feats_t, pts_rows, round_gs, round_gc, round_ps, round_pc, cfg,
+            r_cap, p_round, interpret)
     else:
         out = sample_pallas.sample_depth_pallas(
-            feats_t, pts_rows, round_gs, round_gc, round_ps, cfg, r_cap,
-            p_round, interpret)
-    # value+flag as one [R*P, 2] row table: the back-permutation costs ONE
-    # row-gather + ONE row-scatter instead of two of each (latency-bound,
-    # see the fused layout gather above)
-    vf_r = jnp.moveaxis(out[:, 0:2, :], 1, 2).reshape(-1, 2)
-
-    # Aligned slot -> (round, offset). Adjacent tiles' round windows can
-    # overlap (a round is p_round wide, a tile's aligned slice may be
-    # narrower), so each slot must read its OWN tile's round rather than
-    # scattering from rounds.
-    local = ids - sa
-    flat = (spread_al(r_exc) + local // p_round) * p_round + local % p_round
-    flat = jnp.where(valid_al, flat, 0)
-    vf_al = jnp.where(valid_al[:, None], barrier(vf_r[flat]), 0.0)
-    vf = barrier(jnp.zeros((q, 2)).at[tgt_al].set(vf_al, mode="drop"))
+            feats_t, pts_rows, round_gs, round_gc, round_ps, round_pc, cfg,
+            r_cap, p_round, interpret)
+    # Back out: two 1-d scatters (XLA fuses them), aligned slots -> original
+    # point order. A single +1-encoded payload scatter was measured equal
+    # (AB_r04.json) — the second scatter is free, so keep exact semantics.
+    # Invalid aligned slots (padding; the tail of outside-frustum points
+    # maps to no aligned slot at all) are dropped/zeroed, so callers AND
+    # gradients see exact zeros for uncovered points (NaN garbage would
+    # leak through `where` VJPs).
+    tgt_al = jnp.where(valid_al, tgt_raw, q)
+    val_al = jnp.where(valid_al, out[0, :q_al], 0.0)
+    flag_al = jnp.where(valid_al, out[1, :q_al], 0.0)
+    val = barrier(jnp.zeros((q,)).at[tgt_al].set(val_al, mode="drop"))
+    flag = barrier(jnp.zeros((q,)).at[tgt_al].set(
+        jax.lax.stop_gradient(flag_al), mode="drop"))
     # flag cotangents land on out row 1, which the kernel vjp ignores
     # (rows 1+ are non-differentiable residuals)
-    return vf[:, 0], jax.lax.stop_gradient(vf[:, 1])
+    return val, jax.lax.stop_gradient(flag)
 
 
 def _rounds_xla(feats_pairs, binning, sorted_q, pt_start, pt_end,

@@ -41,8 +41,18 @@ P = BLK * BLK
 RV = 48           # region rows (window row start is aligned to the
                   # bf16 sublane tiling, so up to 15 rows may be spent on
                   # alignment)
-RU = 256          # region cols (>=2 lane groups so an aligned-down start
-                  # always keeps >=128 usable columns)
+RU = 256          # DMA region cols (>=2 lane groups so an aligned-down
+                  # start always keeps >=128 usable columns)
+# Effective contraction width: after a dynamic lane-rotate puts the block's
+# true (unaligned) column start at lane 0, the hat weights and the MXU
+# contraction only need to cover the block's actual u-footprint (~16 px block
+# + patch offsets + warp distortion, typically < 30 px). 64 quarters both the
+# hat-construction VPU work and the matmul K versus the aligned 256-wide
+# window; taps beyond it are reported not-ok exactly like taps beyond the DMA
+# window. Knob for A/B: GSJAX_NCC_RU in {64, 128, 256}.
+import os as _os
+
+RU_E = int(_os.environ.get("GSJAX_NCC_RU", "64") or 64)
 
 _f32 = jnp.float32
 
@@ -66,23 +76,35 @@ def _kernel(uv_ref, img_hbm, out_ref, region, sem, *, n_taps: int,
     cp.start()
 
     cp.wait()
-    reg = region[...]                              # [RV, RU] bf16
+    # dynamic lane-rotate so the TRUE window start umin_raw sits at lane 0:
+    # the contraction below then only spans RU_E columns instead of the
+    # alignment-padded 256 (module constant comment). pltpu.roll shifts
+    # toward higher lanes, so rotate by RU - (umin_raw - umin), mod RU.
+    # Mosaic's dynamic rotate is 32-bit only: rotate in f32, cast back.
+    shift = jnp.remainder(umin - umin_raw, RU)
+    reg = pltpu.roll(region[...].astype(_f32), shift, 1)[:, :RU_E] \
+        .astype(jnp.bfloat16)                                # [RV, RU_E]
 
-    iota_u = jax.lax.broadcasted_iota(jnp.int32, (RU, P), 0).astype(_f32)
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (RU_E, P), 0).astype(_f32)
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (RV, P), 0).astype(_f32)
-    uminf = umin.astype(_f32)
+    uminf = umin_raw.astype(_f32)
     vminf = vmin.astype(_f32)
+    u_hi = min(RU_E, w_img) - 1.001
 
-    def tap(k, ok):
-        # per-tap rows re-read from the ref (Mosaic lowers dynamic slices on
-        # refs, not on values)
-        ur = uv_ref[0, pl.ds(k, 1), :] - uminf             # [1, P]
-        vr = uv_ref[0, pl.ds(n_taps + k, 1), :] - vminf
-        ok = ok * (((ur >= 0.0) & (ur <= RU - 1.001) &
+    # STATIC tap loop (n_taps is a trace-time constant): a fori_loop made
+    # every uv row read and every output row write a dynamic-sublane slice —
+    # 49 x 5 dynamic ops per block dominated the kernel (measured 2026-08-20:
+    # unrolling 113 -> a fraction; see AB_r04.json). Unrolled, all slices are
+    # static and Mosaic can software-pipeline MXU and VPU across taps.
+    ok = jnp.ones((1, P), _f32)
+    for k in range(n_taps):
+        ur = un[k:k + 1, :] - uminf                # [1, P]
+        vr = vn[k:k + 1, :] - vminf
+        ok = ok * (((ur >= 0.0) & (ur <= u_hi) &
                     (vr >= 0.0) & (vr <= RV - 1.001)).astype(_f32))
-        u = jnp.clip(ur, 0.0, RU - 1.001)
+        u = jnp.clip(ur, 0.0, u_hi)
         v = jnp.clip(vr, 0.0, RV - 1.001)
-        du = iota_u - u                            # x = c - u, [RU, P]
+        du = iota_u - u                            # x = c - u, [RU_E, P]
         wu = jnp.maximum(0.0, 1.0 - jnp.abs(du))   # bilinear hat(x)
         # d(sample)/du = sum_c -hat'(c - u) * reg[c]: the weight is -hat'(x)
         # = -1 on the left cell (x in (-1, 0]), +1 on the right (x in (0, 1))
@@ -98,16 +120,10 @@ def _kernel(uv_ref, img_hbm, out_ref, region, sem, *, n_taps: int,
         wv = jnp.maximum(0.0, 1.0 - jnp.abs(dv))
         wvd = jnp.where((dv > -1.0) & (dv <= 0.0), -1.0,
                         jnp.where((dv > 0.0) & (dv < 1.0), 1.0, 0.0))
-        val = jnp.sum(wv * tmp, axis=0, keepdims=True)
-        gx = jnp.sum(wv * tmpd, axis=0, keepdims=True)
-        gy = jnp.sum(wvd * tmp, axis=0, keepdims=True)
-        out_ref[0, pl.ds(k, 1), :] = val
-        out_ref[0, pl.ds(n_taps + k, 1), :] = gx
-        out_ref[0, pl.ds(2 * n_taps + k, 1), :] = gy
-        return ok
-
-    ok = jax.lax.fori_loop(0, n_taps, tap, jnp.ones((1, P), _f32))
-    out_ref[0, pl.ds(3 * n_taps, 1), :] = ok
+        out_ref[0, k, :] = jnp.sum(wv * tmp, axis=0)
+        out_ref[0, n_taps + k, :] = jnp.sum(wv * tmpd, axis=0)
+        out_ref[0, 2 * n_taps + k, :] = jnp.sum(wvd * tmp, axis=0)
+    out_ref[0, 3 * n_taps, :] = ok[0]
 
 
 def _sample_call(img_bf16, uv, n_blocks: int, n_taps: int,

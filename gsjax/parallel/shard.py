@@ -412,10 +412,36 @@ def _train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
 
         def loss_fn(p_, mean2d_offset, emb_, net_):
             scales, opac = gm.scaling_n_opacity_with_3d_filter(p_, aux_.filter_3d)
-            prep = preprocess(p_.xyz, scales, p_.rotation, opac,
-                              gm.get_features(p_), gm.get_sg_axis(p_),
-                              gm.get_sg_sharpness(p_), p_.sg_color,
-                              camera, cfg, aux_.alive)
+            # Preprocess sharded over GAUSSIANS: each device transforms its
+            # own capacity/n_dev rows and the (small, ~24 f32/gaussian)
+            # screen-space outputs are all_gathered; the gather's transpose
+            # is a reduce_scatter, so the preprocess VJP also runs on the
+            # local shard only. This removes the replicated t_prep Amdahl
+            # term the round-3 scaling model flagged (SCALING_MODEL.json:
+            # pred_efficiency 0.70 at 8 devices with preprocess+its VJP
+            # ~23 ms replicated). ICI cost: ~(24+16*3)*4B*N*(n-1)/n bytes,
+            # ~0.1 ms at 100k gaussians — negligible against the saving.
+            cap = p_.xyz.shape[0]
+            ns = -(-cap // n_dev)
+
+            def shard_rows(x):
+                if x is None:
+                    return None
+                pad = n_dev * ns - cap
+                xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+                return jax.lax.dynamic_slice_in_dim(xp, i_dev * ns, ns, 0)
+
+            prep_loc = preprocess(
+                shard_rows(p_.xyz), shard_rows(scales),
+                shard_rows(p_.rotation), shard_rows(opac),
+                shard_rows(gm.get_features(p_)),
+                shard_rows(gm.get_sg_axis(p_)),
+                shard_rows(gm.get_sg_sharpness(p_)),
+                shard_rows(p_.sg_color),
+                camera, cfg, shard_rows(aux_.alive))
+            prep = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, AXIS, tiled=True)[:cap],
+                prep_loc)
             prep = dataclasses.replace(prep, mean2d=prep.mean2d + mean2d_offset)
             binning = bin_gaussians(
                 prep, cfg, width, height, row_lo=rb[i_dev],
@@ -540,6 +566,7 @@ def _train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                 loss=total, l1=ll1, ssim=ssim_val, dn_loss=dn_loss,
                 ncc_loss=ncc_l, geo_loss=geo_l,
                 num_pairs=jax.lax.psum(binning.num_pairs, AXIS),
+                num_live_pairs=jax.lax.pmax(binning.num_live, AXIS),
                 dev_num_pairs=jax.lax.pmax(binning.num_pairs, AXIS),
                 max_tile_count=jax.lax.pmax(binning.max_tile_count, AXIS),
                 # per-tile-row global pair counts: bands are disjoint and

@@ -54,6 +54,7 @@ class Trainer:
     active_sh: int = 0
     active_sg: int = 0
     pair_capacity: int = 1 << 18
+    live_capacity: int = 1 << 17
     max_per_tile: int = 1 << 10
     iteration: int = 0
     key: jax.Array = None
@@ -130,7 +131,9 @@ class Trainer:
         return RasterConfig(
             sh_degree=self.active_sh, sg_degree=self.active_sg,
             kernel_size=self.kernel_size, require_depth=require_depth,
-            pair_capacity=self.pair_capacity, max_per_tile=self.max_per_tile,
+            pair_capacity=self.pair_capacity,
+            live_capacity=min(self.live_capacity, self.pair_capacity),
+            max_per_tile=self.max_per_tile,
             backend=os.environ.get("GSJAX_RASTER_BACKEND", "auto"))
 
     def lrs(self):
@@ -216,6 +219,8 @@ class Trainer:
         at max_per_tile)."""
         if int(metrics["max_tile_count"]) > self.max_per_tile:
             return True
+        if int(metrics.get("num_live_pairs", 0)) > self.live_capacity:
+            return True
         if self.sharded:
             return int(metrics["dev_num_pairs"]) > self.dev_pair_capacity
         return int(metrics["num_pairs"]) > self.pair_capacity
@@ -242,6 +247,10 @@ class Trainer:
         npairs = int(metrics["num_pairs"])
         if npairs > 0.85 * self.pair_capacity:
             self.pair_capacity = next_pow2(int(npairs * 3.0))
+            recompiled = True
+        nlive = int(metrics.get("num_live_pairs", 0))
+        if nlive > 0.85 * self.live_capacity:
+            self.live_capacity = next_pow2(int(nlive * 3.0))
             recompiled = True
         mtc = int(metrics["max_tile_count"])
         if mtc > 0.9 * self.max_per_tile:

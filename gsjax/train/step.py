@@ -102,6 +102,7 @@ def train_step(params: gm.GaussianParams,
         metrics = dict(loss=total, l1=ll1, ssim=ssim_val, dn_loss=dn_loss,
                        ncc_loss=ncc_loss, geo_loss=geo_loss,
                        num_pairs=out["num_pairs"],
+                       num_live_pairs=out["num_live_pairs"],
                        max_tile_count=out["max_tile_count"])
         side = dict(visibility=out["visibility"], radii=out["radii"])
         return total, (metrics, side)

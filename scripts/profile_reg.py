@@ -66,7 +66,8 @@ def main():
     r2[2, 0] = -np.sin(th)
     near = Camera.create(r2, np.asarray([0.15, 0.0, 0.0], np.float32),
                          1.0, 0.66, width, height)
-    cfg = RasterConfig(pair_capacity=1 << 21, max_per_tile=1 << 11,
+    cfg = RasterConfig(pair_capacity=1 << 21, live_capacity=1 << 20,
+                       max_per_tile=1 << 11,
                        sh_degree=1, require_depth=True)
 
     depth = jnp.asarray(

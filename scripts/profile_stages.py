@@ -90,9 +90,11 @@ def main():
     shs = rng.normal(0, 0.3, (n, 16, 3)).astype(np.float32)
     cam = Camera.create(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
                         1.0, 0.66, width, height)
-    cfg = RasterConfig(pair_capacity=1 << 21, max_per_tile=1 << 11,
+    cfg = RasterConfig(pair_capacity=1 << 21, live_capacity=1 << 20,
+                       max_per_tile=1 << 11,
                        sh_degree=3, require_depth=True)
-    cfg_nd = RasterConfig(pair_capacity=1 << 21, max_per_tile=1 << 11,
+    cfg_nd = RasterConfig(pair_capacity=1 << 21, live_capacity=1 << 20,
+                       max_per_tile=1 << 11,
                           sh_degree=3, require_depth=False)
     gt = jnp.asarray(rng.uniform(0, 1, (height, width, 3)).astype(np.float32))
     bg = jnp.zeros(3)

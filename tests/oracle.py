@@ -157,7 +157,30 @@ def render_np(prep, cam, bg, tile=32, require_depth=True,
     mdepth = np.zeros((H, W))
     ncontrib = np.zeros((H, W), np.int32)
 
-    # per-tile sorted lists (same construction as duplicateWithKeys)
+    # per-tile sorted lists (same construction as duplicateWithKeys), with
+    # the binning.py exact ellipse-tile cull mirrored: a (gaussian, tile)
+    # pair whose box-min of q = 0.5*ca*dx^2 + cb*dx*dy + 0.5*cc*dy^2 over
+    # the tile's pixel box exceeds ln(op/alpha_min) (+ the same 1e-3 margin)
+    # fails every pixel's alpha test, so dropping it changes nothing but the
+    # n_contrib list index.
+    def tile_dead(g, txx, tyy):
+        gx, gy = g["mean2d"]
+        ca, cb, cc = g["conic"]
+        axx = gx - (txx * tile + tile - 1)
+        bxx = gx - txx * tile
+        ayy = gy - (tyy * tile + tile - 1)
+        byy = gy - tyy * tile
+        if axx <= 0 <= bxx and ayy <= 0 <= byy:
+            return False
+        q = lambda dx, dy: 0.5 * ca * dx * dx + cb * dx * dy + 0.5 * cc * dy * dy
+        clamp = lambda v, lo, hi: min(max(v, lo), hi)
+        qmin = min(
+            q(axx, clamp(-cb * axx / max(cc, 1e-12), ayy, byy)),
+            q(bxx, clamp(-cb * bxx / max(cc, 1e-12), ayy, byy)),
+            q(clamp(-cb * ayy / max(ca, 1e-12), axx, bxx), ayy),
+            q(clamp(-cb * byy / max(ca, 1e-12), axx, bxx), byy))
+        return qmin > math.log(max(g["opacity"], 1e-12) / (1 / 255)) + 1e-3
+
     tiles = {}
     order = sorted((i for i, g in enumerate(prep) if g is not None),
                    key=lambda i: prep[i]["depth"])
@@ -166,6 +189,8 @@ def render_np(prep, cam, bg, tile=32, require_depth=True,
         rx0, ry0, rx1, ry1 = g["rect"]
         for tyy in range(ry0, ry1):
             for txx in range(rx0, rx1):
+                if tile_dead(g, txx, tyy):
+                    continue
                 tiles.setdefault(tyy * tiles_x + txx, []).append(i)
 
     for py in range(H):
