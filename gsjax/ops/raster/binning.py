@@ -52,7 +52,8 @@ class Binning:
 
 def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int,
                   row_lo=None, row_hi=None,
-                  pair_capacity: int | None = None) -> Binning:
+                  pair_capacity: int | None = None,
+                  row_lo2=None, row_hi2=None) -> Binning:
     """Bin gaussians into depth-sorted per-tile pair lists.
 
     row_lo/row_hi (+ a smaller pair_capacity) restrict binning to the
@@ -61,7 +62,12 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
     sorted and re-laid. This is the per-device path under shard_map — each
     chip bins only its own band, making the binning cost scale down with the
     mesh instead of being replicated (SURVEY section 2.3). Tiles outside the
-    band report count=0."""
+    band report count=0.
+
+    row_lo2/row_hi2 add a SECOND disjoint row interval (must start at or
+    after row_hi): the mirrored dual-band partition pairs a pair-dense band
+    with a sparse one per device, cutting the row-quantisation load
+    imbalance of single contiguous bands (parallel/shard.py)."""
     tiles_x, tiles_y = cfg.grid(width, height)
     num_tiles = tiles_x * tiles_y
     k = pair_capacity if pair_capacity is not None else cfg.pair_capacity
@@ -74,14 +80,25 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
 
     touched = jax.lax.stop_gradient(prep.tiles_touched)
     rect_y0 = prep.rect_min[:, 1]
+    rect_y1 = rect_y0 + prep.rect_wh[:, 1]
+    rect_w = jnp.maximum(prep.rect_wh[:, 0], 1)
     if row_lo is not None:
-        # clip each rect to the band; culled gaussians keep touched == 0
-        rect_w = jnp.maximum(prep.rect_wh[:, 0], 1)
+        # clip each rect to the band(s); culled gaussians keep touched == 0
         y0c = jnp.clip(rect_y0, row_lo, row_hi)
-        y1c = jnp.clip(rect_y0 + prep.rect_wh[:, 1], row_lo, row_hi)
-        touched = jnp.where(touched > 0,
-                            rect_w * jnp.maximum(y1c - y0c, 0), 0)
+        y1c = jnp.clip(rect_y1, row_lo, row_hi)
+        rows1 = jnp.maximum(y1c - y0c, 0)
+        if row_lo2 is not None:
+            y0c2 = jnp.clip(rect_y0, row_lo2, row_hi2)
+            y1c2 = jnp.clip(rect_y1, row_lo2, row_hi2)
+            rows2 = jnp.maximum(y1c2 - y0c2, 0)
+        else:
+            y0c2 = jnp.zeros_like(y0c)
+            rows2 = jnp.zeros_like(rows1)
+        touched = jnp.where(touched > 0, rect_w * (rows1 + rows2), 0)
         rect_y0 = y0c
+    else:
+        rows1 = jnp.maximum(rect_y1 - rect_y0, 0)  # full rect: jr < rows1
+        y0c2 = jnp.zeros_like(rect_y0)
     cum = jnp.cumsum(touched)                      # inclusive
     total = cum[-1]
 
@@ -97,26 +114,33 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
         jnp.where(touched > 0, starts_exc, k)].set(g_ids, mode="drop")
     g = barrier(jax.lax.cummax(barrier(mark)))
 
-    # one packed row-gather instead of 11 scalar gathers (TPU gathers are
-    # per-row; all values fit exactly in f32). Columns 5..10 feed the exact
-    # ellipse-tile cull below.
+    # one packed row-gather instead of 13 scalar gathers (TPU gathers are
+    # per-row; all values fit exactly in f32). Columns 7..12 feed the exact
+    # ellipse-tile cull below; cols 5/6 map dual-band virtual rows.
     sg = jax.lax.stop_gradient
     packed = barrier(jnp.stack([
         starts_exc.astype(jnp.float32),
         prep.rect_min[:, 0].astype(jnp.float32),
         rect_y0.astype(jnp.float32),
-        jnp.maximum(prep.rect_wh[:, 0], 1).astype(jnp.float32),
+        rect_w.astype(jnp.float32),
         sg(prep.depth),
+        rows1.astype(jnp.float32),
+        y0c2.astype(jnp.float32),
         sg(prep.mean2d[:, 0]),
         sg(prep.mean2d[:, 1]),
         sg(prep.conic[:, 0]),
         sg(prep.conic[:, 1]),
         sg(prep.conic[:, 2]),
         sg(prep.opacity),
-    ], axis=1)[g])                                 # [K,11]
-    j = p_ids - packed[:, 0].astype(jnp.int32)     # rank within g's rect
+    ], axis=1)[g])                                 # [K,13]
+    j = p_ids - packed[:, 0].astype(jnp.int32)     # rank within g's rect(s)
     w = packed[:, 3].astype(jnp.int32)
-    ty = packed[:, 2].astype(jnp.int32) + j // w
+    jr = j // w
+    r1 = packed[:, 5].astype(jnp.int32)
+    # virtual row jr walks interval 1 then interval 2 (full rect: jr < r1)
+    ty = jnp.where(jr < r1,
+                   packed[:, 2].astype(jnp.int32) + jr,
+                   packed[:, 6].astype(jnp.int32) + (jr - r1))
     tx = packed[:, 1].astype(jnp.int32) + j % w
     tile = ty * tiles_x + tx
 
@@ -132,9 +156,9 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
     # inside, else the min over the 4 edges (each a clamped 1-D quadratic).
     # The 1e-3 margin keeps pairs within f32 evaluation-order noise of the
     # threshold, so kernel outputs are bit-identically unaffected.
-    gx, gy = packed[:, 5], packed[:, 6]
-    ca, cb, cc = packed[:, 7], packed[:, 8], packed[:, 9]
-    op = packed[:, 10]
+    gx, gy = packed[:, 7], packed[:, 8]
+    ca, cb, cc = packed[:, 9], packed[:, 10], packed[:, 11]
+    op = packed[:, 12]
     txp = (tx * cfg.tile).astype(jnp.float32)
     typ = (ty * cfg.tile).astype(jnp.float32)
     ax = gx - (txp + cfg.tile - 1)                 # dx = gx - px range

@@ -1,6 +1,7 @@
 from gsjax.parallel.multihost import is_primary, maybe_init_distributed  # noqa: F401
 from gsjax.parallel.shard import (  # noqa: F401
     balance_band_bounds,
+    dual_balance_bounds,
     equal_band_bounds,
     make_mesh,
     render_sharded,

@@ -171,6 +171,47 @@ def balance_band_bounds(row_pairs, n_dev: int,
     return b.astype(np.int32)
 
 
+def dual_balance_bounds(row_pairs, n_dev: int,
+                        band_cap: int) -> np.ndarray:
+    """Mirrored dual-band partition: [2n+1] row boundaries where device d
+    owns bands d and 2n-1-d. Starting from the greedy equal-pair 2n-split,
+    interior boundaries hill-climb (+-1 row, respecting band_cap) to
+    minimise the max PAIRED share — the greedy quantiles alone don't beat a
+    single contiguous partition because pairing errors add (host-side,
+    numpy; a few hundred cheap iterations over ~tens of rows)."""
+    w = np.asarray(row_pairs, np.float64) + 1e-3
+    tiles_y = w.shape[0]
+    nb = 2 * n_dev
+    cum = np.concatenate([[0.0], np.cumsum(w)])
+    b = balance_band_bounds(row_pairs, nb, band_cap).astype(np.int64)
+
+    def dev_shares(bb):
+        band = cum[bb[1:]] - cum[bb[:-1]]
+        return band[:n_dev] + band[nb - 1:n_dev - 1:-1]
+
+    cur = dev_shares(b)
+    for _ in range(50 * nb):
+        best_gain, best = 0.0, None
+        worst = cur.max()
+        for i in range(1, nb):
+            for dlt in (-1, 1):
+                v = b[i] + dlt
+                if not (b[i - 1] <= v <= b[i + 1]):
+                    continue
+                if (v - b[i - 1] > band_cap) or (b[i + 1] - v > band_cap):
+                    continue
+                b2 = b.copy()
+                b2[i] = v
+                m = dev_shares(b2).max()
+                if worst - m > best_gain:
+                    best_gain, best = worst - m, b2
+        if best is None:
+            break
+        b = best
+        cur = dev_shares(b)
+    return b.astype(np.int32)
+
+
 def _band_grid(camera: Camera, cfg: RasterConfig, n_dev: int):
     tiles_x, tiles_y = cfg.grid(camera.width, camera.height)
     rows_per = -(-tiles_y // n_dev)
@@ -178,33 +219,58 @@ def _band_grid(camera: Camera, cfg: RasterConfig, n_dev: int):
 
 
 def _my_band_tiles(row_bounds, i_dev, rows_per_max: int, tiles_x: int,
-                   num_tiles: int):
-    """Global tile ids of this device's band [row_bounds[i], row_bounds[i+1]),
-    padded to the static rows_per_max x tiles_x grid with the sentinel
-    `num_tiles` (downstream masks force count=0 for sentinel tiles)."""
-    r_lo = row_bounds[i_dev]
-    rows = r_lo + jnp.arange(rows_per_max, dtype=jnp.int32)
-    in_band = rows < row_bounds[i_dev + 1]
+                   num_tiles: int, n_dev: int | None = None):
+    """Global tile ids of this device's band(s), padded to the static
+    rows_per_max x tiles_x grid with the sentinel `num_tiles` (downstream
+    masks force count=0 for sentinel tiles).
+
+    With a [n_dev+1] partition the device owns rows
+    [row_bounds[i], row_bounds[i+1]). With a [2*n_dev+1] partition (mirrored
+    dual bands) it owns bands i and 2*n_dev-1-i, laid consecutively in its
+    local buffer (band A rows first)."""
+    r_loc = jnp.arange(rows_per_max, dtype=jnp.int32)
+    if n_dev is not None and row_bounds.shape[0] == 2 * n_dev + 1:
+        j2 = 2 * n_dev - 1 - i_dev
+        len_a = row_bounds[i_dev + 1] - row_bounds[i_dev]
+        len_b = row_bounds[j2 + 1] - row_bounds[j2]
+        rows = jnp.where(r_loc < len_a,
+                         row_bounds[i_dev] + r_loc,
+                         row_bounds[j2] + (r_loc - len_a))
+        in_band = r_loc < len_a + len_b
+    else:
+        rows = row_bounds[i_dev] + r_loc
+        in_band = rows < row_bounds[i_dev + 1]
     t2d = rows[:, None] * tiles_x + \
         jnp.arange(tiles_x, dtype=jnp.int32)[None, :]
     return jnp.where(in_band[:, None], t2d, num_tiles).reshape(-1)
 
 
 def _assemble_band_tiles(local: dict, row_bounds, rows_per_max: int,
-                         tiles_x: int, tiles_y: int) -> dict:
+                         tiles_x: int, tiles_y: int,
+                         n_dev: int | None = None) -> dict:
     """all_gather per-device tile buffers and re-order into global tile order.
 
-    Device d's buffer holds tile rows [b[d], b[d]+rows_per_max), of which
-    only [b[d], b[d+1]) are in-band; a searchsorted owner map gathers each
-    global tile row from its owner's slot. The gather's transpose scatters
-    loss cotangents back to the owning device (out-of-band slots get zero),
-    so gradients through the reassembly are exact for ANY valid partition."""
+    Device d's buffer holds its band rows (both bands, consecutively, under
+    the mirrored dual partition) padded to rows_per_max; a searchsorted
+    owner map gathers each global tile row from its owner's slot. The
+    gather's transpose scatters loss cotangents back to the owning device
+    (out-of-band slots get zero), so gradients through the reassembly are
+    exact for ANY valid partition."""
     g_rows = jnp.arange(tiles_y, dtype=jnp.int32)
-    # smallest d with row_bounds[d+1] > r; [1:-1] implicitly clamps to n-1
-    owner = jnp.searchsorted(row_bounds[1:-1], g_rows,
-                             side="right").astype(jnp.int32)
-    base = owner * (rows_per_max * tiles_x) + \
-        (g_rows - row_bounds[owner]) * tiles_x
+    # smallest band k with row_bounds[k+1] > r; [1:-1] implicitly clamps
+    k_band = jnp.searchsorted(row_bounds[1:-1], g_rows,
+                              side="right").astype(jnp.int32)
+    if n_dev is not None and row_bounds.shape[0] == 2 * n_dev + 1:
+        owner = jnp.where(k_band < n_dev, k_band, 2 * n_dev - 1 - k_band)
+        # band A sits at local row 0; band B after band A's rows
+        len_a = row_bounds[owner + 1] - row_bounds[owner]
+        slot = jnp.where(k_band < n_dev,
+                         g_rows - row_bounds[k_band],
+                         len_a + (g_rows - row_bounds[k_band]))
+    else:
+        owner = k_band
+        slot = g_rows - row_bounds[owner]
+    base = owner * (rows_per_max * tiles_x) + slot * tiles_x
     idx = (base[:, None] +
            jnp.arange(tiles_x, dtype=jnp.int32)[None, :]).reshape(-1)
     return {k: jax.lax.all_gather(v, AXIS, tiled=True)[idx]
@@ -443,15 +509,19 @@ def _train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                 lambda x: jax.lax.all_gather(x, AXIS, tiled=True)[:cap],
                 prep_loc)
             prep = dataclasses.replace(prep, mean2d=prep.mean2d + mean2d_offset)
+            dual = rb.shape[0] == 2 * n_dev + 1
+            j2 = 2 * n_dev - 1 - i_dev
             binning = bin_gaussians(
                 prep, cfg, width, height, row_lo=rb[i_dev],
-                row_hi=rb[i_dev + 1], pair_capacity=dev_pair_capacity)
+                row_hi=rb[i_dev + 1], pair_capacity=dev_pair_capacity,
+                row_lo2=rb[j2] if dual else None,
+                row_hi2=rb[j2 + 1] if dual else None)
             my_tiles = _my_band_tiles(rb, i_dev, rows_per_max, tiles_x,
-                                      num_tiles)
+                                      num_tiles, n_dev)
             local = _render_local_tiles(prep, binning, camera, cfg, bg_,
                                         my_tiles)
             full = _assemble_band_tiles(local, rb, rows_per_max, tiles_x,
-                                        tiles_y)
+                                        tiles_y, n_dev)
             img = _tiles_to_image(full["color"], tiles_x, tiles_y,
                                   width, height, cfg)
 

@@ -69,6 +69,8 @@ class Trainer:
     # reverts to equal-row bands.
     band_balance: bool = os.environ.get("GSJAX_BAND_BALANCE", "1") not in ("0", "")
     band_rows_factor: float = float(os.environ.get("GSJAX_BAND_ROWS_FACTOR", "2"))
+    # mirrored dual bands per device (pair-dense centre + sparse edge)
+    dual_bands: bool = os.environ.get("GSJAX_DUAL_BANDS", "1") not in ("0", "")
     _row_pairs: dict = dataclasses.field(default_factory=dict)
     random_background: bool = False
     # device-resident gt cache: without it every step re-uploads the frame
@@ -195,8 +197,27 @@ class Trainer:
                   max(rows_per, int(np.ceil(self.band_rows_factor * rows_per))))
         hist = self._row_pairs.get((uid, tiles_y),
                                    self._row_pairs.get(tiles_y))
-        bounds = equal_band_bounds(tiles_y, n) if hist is None \
-            else balance_band_bounds(hist, n, rpm)
+        if hist is None:
+            return dict(row_bounds=equal_band_bounds(tiles_y, n),
+                        rows_per_max=rpm)
+        # best of: single contiguous equal-pair bands vs mirrored dual bands
+        # with hill-climbed boundaries ([2n+1] bounds; device d owns bands d
+        # and 2n-1-d, dense centre paired with sparse edge). Dual cuts the
+        # row-quantisation share_max (SCALING_MODEL_r04: 0.191 equal-rows ->
+        # 0.141 at 8 devices); per-band cap rpm//2 bounds each device's
+        # total rows at the same static rows_per_max.
+        bounds = balance_band_bounds(hist, n, rpm)
+        if self.dual_bands and tiles_y >= 2 * n:
+            from gsjax.parallel import dual_balance_bounds
+            b2 = dual_balance_bounds(hist, n, max(rpm // 2, 1))
+            h = np.asarray(hist, np.float64)
+            cum = np.concatenate([[0.0], np.cumsum(h)])
+            s1 = max(cum[bounds[d + 1]] - cum[bounds[d]] for d in range(n))
+            s2 = max(cum[b2[d + 1]] - cum[b2[d]] +
+                     cum[b2[2 * n - d]] - cum[b2[2 * n - 1 - d]]
+                     for d in range(n))
+            if s2 < s1:
+                bounds = b2
         return dict(row_bounds=bounds, rows_per_max=rpm)
 
     def note_row_pairs(self, metrics, uid=None):

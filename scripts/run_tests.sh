@@ -10,11 +10,34 @@
 # by running one pytest process PER TEST FILE, retrying a file once if
 # the process dies on a signal (exit >= 128) rather than a test failure.
 #
-# Usage: scripts/run_tests.sh [extra pytest args]
+# Usage: scripts/run_tests.sh [--quick] [extra pytest args]
+#
+#   --quick: the pre-commit tier (~7 min on this host): every KERNEL
+#   parity file (pallas blend fwd/bwd, sample/integrate, NCC warp, raster
+#   oracle) plus the cheap unit files — exactly the tests that catch a
+#   kernel-default or layout change. The heavy integration files
+#   (test_loop ~8 min, test_sharding ~11 min, test_mesh, test_lpips,
+#   test_data, test_eval, test_viewer) run in the full sweep only.
 set -u
 cd "$(dirname "$0")/.."
+
+QUICK=0
+if [ "${1:-}" = "--quick" ]; then
+  QUICK=1
+  shift
+fi
+
+if [ "$QUICK" -eq 1 ]; then
+  files="tests/test_pallas.py tests/test_raster_parity.py \
+         tests/test_sample_ncc.py tests/test_warp_sample.py \
+         tests/test_smoke_render.py tests/test_overflow.py \
+         tests/test_config.py tests/test_utils_aux.py tests/test_knn.py"
+else
+  files="tests/test_*.py"
+fi
+
 fails=0
-for f in tests/test_*.py; do
+for f in $files; do
   for attempt in 1 2; do
     python -m pytest "$f" -q "$@"
     rc=$?

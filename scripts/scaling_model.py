@@ -6,12 +6,18 @@ This model predicts the strong-scaling efficiency a v4/v5e pod slice would
 show, from quantities that ARE measurable here, so a future 2-host run can
 falsify it term by term:
 
-  t_step(n) = t_prep                         (replicated per-gaussian work)
+  t_step(n) = t_prep / n                     (per-gaussian work, sharded over
+                                              gaussians since round 4:
+                                              preprocess fwd + its VJP)
+            + t_repl                         (replicated residue: Adam update
+                                              + densification stats, ~2 ms)
             + t_band * share_max(n)          (binning + blend + banded losses)
-            + t_gather(n) + t_psum(n)        (ICI collectives)
+            + t_gather(n) + t_psum(n) + t_prep_ag(n)   (ICI collectives)
 
   - t_prep / t_band come from the measured single-chip stage profile
-    (scripts/profile_stages.py -> PROFILE_r03.json).
+    (scripts/profile_stages.py -> PROFILE_r04.json); t_prep now counts the
+    preprocess VJP too (it was replicated work mis-filed under t_band in the
+    round-3 model).
   - share_max(n): the largest per-device pair share under the Trainer's
     equal-pair contiguous row partition (`balance_band_bounds`), computed on
     the real per-tile-row pair histogram of the bench scene. This is the
@@ -73,7 +79,7 @@ def bench_scene_row_hist(width=1920, height=1080, n=100_000):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--profile", default="PROFILE_r03.json")
+    ap.add_argument("--profile", default="PROFILE_r04.json")
     ap.add_argument("--ici_gbps", type=float, default=90.0,
                     help="per-device ICI bandwidth (v4 ~ 3x2x100GB/s links; "
                          "90 GB/s effective per collective is conservative)")
@@ -81,22 +87,26 @@ def main():
     ap.add_argument("--out", default="SCALING_MODEL.json")
     args = ap.parse_args()
 
-    from gsjax.parallel.shard import balance_band_bounds
+    from gsjax.parallel.shard import (balance_band_bounds,
+                                      dual_balance_bounds)
 
     hist, tiles_x, tiles_y, cfg = bench_scene_row_hist()
     total = float(hist.sum())
 
     with open(args.profile) as f:
         prof = json.load(f)["timings_ms"]
-    t_prep = prof["preprocess"]
+    t_prep = prof["preprocess"] + prof.get("preprocess VJP", 0.0)
+    t_repl = 2.0        # Adam update + densify stats (elementwise, ~24 MB)
     t_full = prof["FULL fwd+bwd step"]
-    # everything that scales with the band share: all but prep
-    t_band = t_full - t_prep
+    # everything that scales with the band share: all but prep + repl
+    t_band = t_full - t_prep - t_repl
 
     # collective payloads
     p = cfg.pixels_per_tile
     frame_bytes = tiles_x * tiles_y * p * (3 + 3 + 1 + 1) * 4   # tile buffers
     grad_bytes = args.capacity * 59 * 4
+    # sharded-preprocess all_gather: ~24 f32 screen-space rows + 16x3 color
+    prep_bytes = args.capacity * 24 * 4
 
     rows = []
     for n_dev in (1, 2, 4, 8, 16):
@@ -106,9 +116,20 @@ def main():
             t_coll = 0.0
         else:
             rpm = min(tiles_y, -(-tiles_y // n_dev) * 2)
+            # best of: single contiguous equal-pair bands vs mirrored dual
+            # bands with hill-climbed boundaries (device d owns bands d and
+            # 2n-1-d) — the Trainer picks the same way (loop.band_kwargs)
             b = balance_band_bounds(hist, n_dev, rpm)
             shares = np.array([hist[b[d]:b[d + 1]].sum()
                                for d in range(n_dev)], np.float64)
+            if tiles_y >= 2 * n_dev:
+                b2 = dual_balance_bounds(hist, n_dev, max(rpm // 2, 1))
+                shares2 = np.array(
+                    [hist[b2[d]:b2[d + 1]].sum() +
+                     hist[b2[2 * n_dev - 1 - d]:b2[2 * n_dev - d]].sum()
+                     for d in range(n_dev)], np.float64)
+                if shares2.max() < shares.max():
+                    shares = shares2
             share_max = float(shares.max()) / total
             be = np.minimum(np.arange(n_dev + 1) * (-(-tiles_y // n_dev)),
                             tiles_y)
@@ -118,9 +139,10 @@ def main():
             # psum (reduce-scatter + all-gather) moves ~2x(n-1)/n of grads
             bw = args.ici_gbps * 1e9
             t_coll = (frame_bytes * (n_dev - 1) / n_dev / bw +
-                      2 * grad_bytes * (n_dev - 1) / n_dev / bw) * 1e3
-        t_n = t_prep + t_band * share_max + t_coll
-        eff = (t_prep + t_band) / (n_dev * t_n)
+                      2 * grad_bytes * (n_dev - 1) / n_dev / bw +
+                      prep_bytes * (n_dev - 1) / n_dev / bw) * 1e3
+        t_n = t_prep / n_dev + t_repl + t_band * share_max + t_coll
+        eff = (t_prep + t_repl + t_band) / (n_dev * t_n)
         rows.append({
             "devices": n_dev,
             "pred_step_ms": round(t_n, 2),

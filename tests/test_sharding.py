@@ -312,8 +312,9 @@ def test_sharded_step_custom_bounds_parity():
         np.testing.assert_allclose(float(m2[k]), float(m1[k]),
                                    rtol=2e-4, atol=2e-5), k
     assert int(m2["num_pairs"]) == int(m1["num_pairs"])
-    # the psum'd per-row histogram must account for every pair exactly
-    assert int(np.asarray(m2["row_pairs"]).sum()) == int(m1["num_pairs"])
+    # the psum'd per-row histogram must account for every LIVE (post-cull)
+    # pair exactly (num_pairs counts the pre-cull enumeration)
+    assert int(np.asarray(m2["row_pairs"]).sum()) == int(m1["num_live_pairs"])
     for l1, l2 in zip(jax.tree_util.tree_leaves(p1),
                       jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
@@ -329,6 +330,36 @@ def test_sharded_step_custom_bounds_parity():
                                np.asarray(single["render"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(sharded["median_depth"]),
                                np.asarray(single["median_depth"]), atol=1e-4)
+
+
+def test_sharded_step_dual_bands_parity():
+    """Mirrored dual-band partition ([2n+1] bounds: device d owns bands d
+    and 2n-1-d) yields the same step as single-device."""
+    cam, cfg, bg, params, aux, adam, gt, lrs = _setup(
+        width=64, height=256, require_depth=True)
+    lc = LossConfig(reg_on=True)
+
+    p1, aux1, adam1, m1 = train_step(params, aux, adam, cam, gt, bg, lrs,
+                                     cfg, lc)
+    mesh = make_mesh()
+    n = mesh.devices.size
+    assert n == 8
+    # tiles_y = 8: 16 bands of width 0/1, scattered empties; device d owns
+    # bands d and 15-d
+    bounds = np.array([0, 1, 1, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 8],
+                      np.int32)
+    p2, aux2, adam2, m2 = train_step_sharded(
+        params, aux, adam, cam, gt, bg, lrs, cfg, lc, mesh,
+        row_bounds=bounds, rows_per_max=2)
+    for k in ("loss", "l1", "ssim", "dn_loss"):
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                   rtol=2e-4, atol=2e-5), k
+    assert int(m2["num_pairs"]) == int(m1["num_pairs"])
+    assert int(np.asarray(m2["row_pairs"]).sum()) == int(m1["num_live_pairs"])
+    for l1, l2 in zip(jax.tree_util.tree_leaves(p1),
+                      jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   rtol=1e-3, atol=2e-5)
 
 
 def test_trainer_band_kwargs_unit():
