@@ -86,6 +86,83 @@ def sphere_gaussians(n=1500, seed=0, radius=1.0):
     return (means, scales, quats.astype(np.float32), opac, shs)
 
 
+BLOBS_CENTERS = ((0.0, 0.0, 0.0), (1.5, 0.2, 0.5))
+BLOBS_RADII = (1.0, 0.55)
+BLOBS_BG_RADIUS = 6.0
+
+
+def blobs_gaussians(n=2600, seed=0):
+    """Harder golden scene: two disjoint spheres (the small one occludes the
+    big one from part of the ring) plus a textured enclosing background
+    sphere, with ANISOTROPIC tangent scales (up to ~4:1 in-plane) and
+    high-frequency spatial colour — exercising occlusion boundaries,
+    anisotropy and texture where the plain sphere scene is easy.
+
+    Ground truth for chamfer is the union of the two foreground spheres
+    (`blobs_surface_distance` / `blobs_surface_samples`); the background
+    sphere is cropped away before evaluation (|v| <= 2.5)."""
+    rng = np.random.default_rng(seed)
+    parts = []
+    n_fg = int(n * 0.75)
+    counts = [int(n_fg * 0.72), n_fg - int(n_fg * 0.72), n - n_fg]
+    radii = list(BLOBS_RADII) + [BLOBS_BG_RADIUS]
+    centers = [np.asarray(c, np.float32) for c in BLOBS_CENTERS] + \
+        [np.zeros(3, np.float32)]
+    for (cnt, radius, center) in zip(counts, radii, centers):
+        v = rng.normal(0, 1, (cnt, 3))
+        nrm = v / np.linalg.norm(v, axis=1, keepdims=True)
+        means = (radius * nrm + center).astype(np.float32)
+        a = np.where(np.abs(nrm[:, 2:3]) < 0.9,
+                     np.array([[0.0, 0.0, 1.0]]), np.array([[1.0, 0.0, 0.0]]))
+        t1 = np.cross(nrm, a)
+        t1 /= np.linalg.norm(t1, axis=1, keepdims=True)
+        t2 = np.cross(nrm, t1)
+        rot = np.stack([t1, t2, nrm], axis=2)
+        quats = np.stack([_rotmat2qvec(r) for r in rot]).astype(np.float32)
+        area = 4 * np.pi * radius**2 / cnt
+        tang = np.sqrt(area) * 0.9
+        aniso = rng.uniform(0.5, 2.0, (cnt, 1))     # in-plane ratio up to 4:1
+        scales = np.stack([
+            np.full(cnt, tang) * aniso[:, 0],
+            np.full(cnt, tang) / aniso[:, 0],
+            np.full(cnt, tang / 8.0)], axis=1).astype(np.float32) \
+            * rng.uniform(0.8, 1.25, (cnt, 1)).astype(np.float32)
+        opac = rng.uniform(0.85, 0.98, (cnt, 1)).astype(np.float32)
+        shs = np.zeros((cnt, 16, 3), np.float32)
+        # high-frequency spatial texture (deterministic in world position)
+        m = means
+        base = 0.5 + 0.22 * np.stack([
+            np.sin(5.1 * m[:, 0]) * np.cos(4.3 * m[:, 1]),
+            np.sin(4.7 * m[:, 1] + 1.2) * np.cos(5.6 * m[:, 2]),
+            np.sin(6.2 * m[:, 2] + 0.4) * np.cos(3.9 * m[:, 0])], axis=1)
+        shs[:, 0] = ((base - 0.5) / 0.282).astype(np.float32)
+        parts.append((means, scales, quats, opac, shs))
+    return tuple(np.concatenate([p[i] for p in parts]) for i in range(5))
+
+
+def blobs_surface_distance(verts):
+    """Unsigned distance of each vertex to the union of the two foreground
+    spheres."""
+    d = np.full(len(verts), np.inf)
+    for c, r in zip(BLOBS_CENTERS, BLOBS_RADII):
+        d = np.minimum(d, np.abs(
+            np.linalg.norm(verts - np.asarray(c), axis=1) - r))
+    return d
+
+
+def blobs_surface_samples(n=20000, seed=0):
+    """Area-weighted uniform samples on the two foreground spheres."""
+    rng = np.random.default_rng(seed)
+    areas = np.asarray([r * r for r in BLOBS_RADII], np.float64)
+    counts = (n * areas / areas.sum()).astype(int)
+    out = []
+    for (c, r, cnt) in zip(BLOBS_CENTERS, BLOBS_RADII, counts):
+        s = rng.normal(0, 1, (cnt, 3))
+        s /= np.linalg.norm(s, axis=1, keepdims=True)
+        out.append(r * s + np.asarray(c))
+    return np.concatenate(out)
+
+
 def ring_pose(i, n, radius=3.2, height_amp=0.9, target=(0.0, 0.0, 0.0)):
     """Full 360-degree camera ring with alternating elevation: enough
     coverage that TSDF fusion closes the sphere."""

@@ -63,6 +63,8 @@ def evaluate_alpha_cull(points, params, aux, views, cfg: RasterConfig,
     scales, opac = gm.scaling_n_opacity_with_3d_filter(params, aux.filter_3d)
     sdf_chunks, valid_chunks = [], []
     n = points.shape[0]
+    if n == 0:      # e.g. binary search on a mesh with no crossing edges
+        return np.zeros((0,), np.float32), np.zeros((0,), bool)
     for c0 in range(0, n, chunk_size):
         pts = jnp.asarray(points[c0:c0 + chunk_size])
         final = jnp.ones(pts.shape[0])

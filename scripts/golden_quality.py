@@ -41,6 +41,23 @@ def main():
     ap.add_argument("--height", type=int, default=192)
     ap.add_argument("--n_images", type=int, default=24)
     ap.add_argument("--n_gauss", type=int, default=1500)
+    ap.add_argument("--scene", default="sphere", choices=["sphere", "blobs"],
+                    help="golden scene: 'sphere' (r2/r3 baseline) or the "
+                         "harder 'blobs' (two occluding spheres, textured "
+                         "background shell, anisotropic gaussians)")
+    ap.add_argument("--no_reg", action="store_true",
+                    help="ablation: zero the geometry losses (depth-normal "
+                         "+ PGSR NCC/geo) — the chamfer delta vs the "
+                         "regularised run is the GGGS thesis test")
+    ap.add_argument("--reset_interval", type=int, default=0,
+                    help="opacity reset interval (0 = no resets, the r3 "
+                         "behaviour; the full-schedule config uses "
+                         "iterations//3 for >=2 cycles)")
+    ap.add_argument("--sh_degree", type=int, default=2)
+    ap.add_argument("--densify_grad_threshold", type=float, default=0.0002)
+    ap.add_argument("--tetra", action="store_true",
+                    help="also extract the marching-tetrahedra mesh and "
+                         "gate ITS chamfer (mesh_extract_tetrahedra path)")
     ap.add_argument("--sg_degree", type=int, default=0,
                     help="spherical-gaussian lobes (unlocked at iter 100 "
                          "like the reference) — use for the full-pipeline "
@@ -67,7 +84,9 @@ def main():
 
     from gsjax.config import OptimizationParams
     from gsjax.data.readers import build_nearest_view_graph, load_scene
-    from gsjax.data.synth import ring_pose, sphere_gaussians, write_rendered_colmap
+    from gsjax.data.synth import (blobs_gaussians, blobs_surface_distance,
+                                  blobs_surface_samples, ring_pose,
+                                  sphere_gaussians, write_rendered_colmap)
     from gsjax.mesh.extract import extract_mesh_tsdf
     from gsjax.model import appearance as app_lib
     from gsjax.model.io import load_checkpoint, save_checkpoint
@@ -75,15 +94,18 @@ def main():
     from gsjax.train.losses import psnr
 
     t_start = time.time()
-    root = args.scene_dir or os.path.join(tempfile.gettempdir(),
-                                          "gsjax_golden_scene")
+    root = args.scene_dir or os.path.join(
+        tempfile.gettempdir(), f"gsjax_golden_scene_{args.scene}")
     if not os.path.exists(os.path.join(root, "sparse")):
         print(f"generating golden scene at {root}", flush=True)
+        gen = {"sphere": sphere_gaussians, "blobs": blobs_gaussians}
+        ring = ring_pose if args.scene == "sphere" else             (lambda i, n: ring_pose(i, n, radius=4.2, height_amp=1.1,
+                                    target=(0.7, 0.1, 0.25)))
         write_rendered_colmap(
             root, n_images=args.n_images, width=args.width,
-            height=args.height, gaussians=sphere_gaussians(args.n_gauss),
-            pose_fn=ring_pose, points_noise=0.03,
-            pair_capacity=1 << 17, max_per_tile=1 << 10)
+            height=args.height, gaussians=gen[args.scene](args.n_gauss),
+            pose_fn=ring, points_noise=0.03,
+            pair_capacity=1 << 18, max_per_tile=1 << 10)
 
     scene = load_scene(root, "images", None, eval_split=True)
     build_nearest_view_graph(scene.train_views, 30, 0.01, 1.5, 8)
@@ -93,9 +115,14 @@ def main():
     o.densify_from_iter = 300
     o.densify_until_iter = int(args.iterations * 0.75)
     o.densification_interval = 100
-    o.opacity_reset_interval = 100_000          # run too short for resets
+    o.densify_grad_threshold = args.densify_grad_threshold
+    o.opacity_reset_interval = args.reset_interval or 100_000
     o.regularization_from_iter = args.iterations // 2
     o.position_lr_max_steps = args.iterations
+    if args.no_reg:
+        o.lambda_depth_normal = 0.0
+        o.lambda_multi_view_geo = 0.0
+        o.lambda_multi_view_ncc = 0.0
 
     # keyed by scene config so a smoke run and the real run never share a
     # checkpoint
@@ -103,9 +130,12 @@ def main():
         tempfile.gettempdir(),
         f"gsjax_golden_out_{args.width}x{args.height}"
         f"_n{args.n_images}_g{args.n_gauss}_i{args.iterations}"
-        f"_sg{args.sg_degree}_{args.appearance}")
+        f"_sg{args.sg_degree}_{args.appearance}_{args.scene}"
+        f"{'_noreg' if args.no_reg else ''}"
+        f"{'_rst' + str(args.reset_interval) if args.reset_interval else ''}"
+        f"{'_sh' + str(args.sh_degree) if args.sh_degree != 2 else ''}")
     os.makedirs(model_path, exist_ok=True)
-    trainer = Trainer.create(scene, o, model_path, sh_degree=2,
+    trainer = Trainer.create(scene, o, model_path, sh_degree=args.sh_degree,
                              sg_degree=args.sg_degree,
                              appearance=args.appearance)
 
@@ -152,28 +182,58 @@ def main():
     print(f"test PSNR over {len(vals)} held-out views: {test_psnr:.2f} dB",
           flush=True)
 
-    # --- geometry: TSDF mesh vs the analytic unit sphere --------------------
+    # --- geometry: mesh vs the analytic surface ----------------------------
+    from scipy.spatial import cKDTree
+
+    if args.scene == "sphere":
+        def surf_dist(verts):
+            return np.abs(np.linalg.norm(verts, axis=1) - 1.0)
+
+        srng = np.random.default_rng(0)
+        samples = srng.normal(0, 1, (20000, 3))
+        samples /= np.linalg.norm(samples, axis=1, keepdims=True)
+        crop_r = 2.0
+    else:
+        surf_dist = blobs_surface_distance
+        samples = blobs_surface_samples()
+        crop_r = 2.5
+
+    def chamfer_of(verts, label):
+        # crop the background shell / fliers before evaluation (the DTU
+        # protocol's ObsMask analogue for the synthetic scenes)
+        verts = np.asarray(verts)
+        verts = verts[np.linalg.norm(verts, axis=1) <= crop_r] \
+            if len(verts) else verts
+        if len(verts) == 0:
+            return float("inf"), float("inf"), float("inf"), 0
+        d2s = float(np.mean(surf_dist(verts)))
+        s2d = float(np.mean(cKDTree(verts).query(samples, k=1)[0]))
+        ch = 0.5 * (d2s + s2d)
+        print(f"{label}: {len(verts)} verts (cropped); chamfer={ch:.4f} "
+              f"(d2s={d2s:.4f}, s2d={s2d:.4f})", flush=True)
+        return ch, d2s, s2d, len(verts)
+
     mesh = extract_mesh_tsdf(
         lambda v: trainer.render_view(v, require_depth=True),
         scene.train_views, voxel_size=0.02, depth_trunc=6.0)
     verts, faces = mesh["post"]
     if len(verts) == 0:
         verts, faces = mesh["raw"]
-    r = np.linalg.norm(verts, axis=1)
-    d2s = float(np.mean(np.abs(r - 1.0)))       # mesh -> surface
-    # surface -> mesh: nearest mesh vertex from uniform sphere samples
-    from scipy.spatial import cKDTree
-    rng = np.random.default_rng(0)
-    s = rng.normal(0, 1, (20000, 3))
-    s /= np.linalg.norm(s, axis=1, keepdims=True)
-    s2d = float(np.mean(cKDTree(verts).query(s, k=1)[0])) if len(verts) \
-        else float("inf")
-    chamfer = 0.5 * (d2s + s2d)
-    print(f"mesh: {len(verts)} verts; chamfer={chamfer:.4f} "
-          f"(d2s={d2s:.4f}, s2d={s2d:.4f})", flush=True)
+    chamfer, d2s, s2d, nverts = chamfer_of(verts, "tsdf mesh")
+
+    chamfer_tetra = None
+    if args.tetra:
+        from gsjax.mesh.extract import extract_mesh_tetrahedra
+        tmesh = extract_mesh_tetrahedra(
+            trainer.params, trainer.aux, scene.train_views,
+            trainer.raster_cfg(require_depth=True), n_binary_steps=8)
+        tverts, _ = tmesh["post"]
+        if len(tverts) == 0:
+            tverts, _ = tmesh["raw"]
+        chamfer_tetra = chamfer_of(tverts, "tetra mesh")[0]
 
     result = {
-        "scene": "sphere_ring",
+        "scene": f"{args.scene}_ring",
         "platform": jax.default_backend(),
         "iterations": args.iterations,
         "sg_degree": args.sg_degree,
@@ -185,14 +245,27 @@ def main():
         "chamfer": round(chamfer, 5),
         "chamfer_d2s": round(d2s, 5),
         "chamfer_s2d": round(s2d, 5),
-        "mesh_vertices": int(len(verts)),
+        "chamfer_tetra": (round(chamfer_tetra, 5)
+                          if chamfer_tetra is not None
+                          and np.isfinite(chamfer_tetra) else None),
+        "mesh_vertices": int(nverts),
+        "no_reg": bool(args.no_reg),
+        "reset_interval": args.reset_interval,
+        "sh_degree": args.sh_degree,
         "wall_s": round(time.time() - t_start, 1),
     }
-    # Pass thresholds, calibrated from the first TPU run (r3: 34.72 dB /
-    # chamfer 0.021 at 2k iters; chamfer is floored near the 0.02 TSDF
-    # voxel). A regression below these is a quality bug, not noise.
-    result["thresholds"] = {"test_psnr_db_min": 30.0, "chamfer_max": 0.035}
-    result["pass"] = bool(test_psnr >= 30.0 and chamfer <= 0.035)
+    # Pass thresholds. Regression-tight on the r3-calibrated sphere scene
+    # (r3: 34.72 dB / chamfer 0.021, floored near the 0.02 TSDF voxel);
+    # blobs thresholds are calibrated by its first TPU run. Ablation runs
+    # (--no_reg) report metrics but only gate PSNR (their chamfer is the
+    # comparison POINT, not a target).
+    thr = {"sphere": (34.0, 0.025), "blobs": (28.0, 0.045)}[args.scene]
+    result["thresholds"] = {"test_psnr_db_min": thr[0],
+                            "chamfer_max": thr[1]}
+    ch_ok = True if args.no_reg else (
+        chamfer <= thr[1] and
+        (chamfer_tetra is None or chamfer_tetra <= 2.5 * thr[1]))
+    result["pass"] = bool(test_psnr >= thr[0] and ch_ok)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result), flush=True)
