@@ -153,7 +153,7 @@ def extract_mesh_tetrahedra(params, aux, views, cfg: RasterConfig,
 
 def fuse_tsdf(depths, colors, views, voxel_size=0.002, depth_trunc=8.0,
               sdf_trunc=None, grid_bounds=None, max_voxels=64_000_000,
-              verbose=True):
+              verbose=True, with_color=False):
     """Dense TSDF fusion over an AABB derived from the depth maps.
 
     depths: list of [H,W] z-depth maps (0 = invalid); colors: list of [H,W,3].
@@ -197,7 +197,11 @@ def fuse_tsdf(depths, colors, views, voxel_size=0.002, depth_trunc=8.0,
 
     tsdf = jnp.zeros(tuple(dims))
     weight = jnp.zeros(tuple(dims))
-    color = jnp.zeros(tuple(dims) + (3,))
+    # colour fusion is optional: the per-voxel pixel gather materialises a
+    # [V, 3] intermediate whose trailing 3-axis pads to the 128-lane tile —
+    # 20 GB at a 40M-voxel grid (OOM'd the chip on the blobs golden scene,
+    # 2026-08-20) — and the meshing route discards colour anyway.
+    color = jnp.zeros(((3,) + tuple(dims)) if with_color else (1, 1))
 
     # numpy: these are closed over by the jit below, and device-array closure
     # constants stall lowering on the axon relay (see camera.py)
@@ -220,7 +224,6 @@ def fuse_tsdf(depths, colors, views, voxel_size=0.002, depth_trunc=8.0,
         ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
         vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
         d = depth_img[vi, ui]
-        c = color_img[vi, ui]
         valid = (pz > 0) & (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1) & \
             (d > 0) & (d < depth_trunc)
         sdf_val = d - pz
@@ -228,9 +231,13 @@ def fuse_tsdf(depths, colors, views, voxel_size=0.002, depth_trunc=8.0,
         sdf_val = jnp.clip(sdf_val / sdf_trunc, -1.0, 1.0)
         wnew = weight + valid
         tsdf = jnp.where(valid, (tsdf * weight + sdf_val) / jnp.maximum(wnew, 1), tsdf)
-        color = jnp.where(valid[..., None],
-                          (color * weight[..., None] + c) / jnp.maximum(wnew, 1)[..., None],
-                          color)
+        if with_color:
+            # channel-separate gathers: a [V,3] row gather would pad 3->128
+            c3 = jnp.stack([color_img[..., ch][vi, ui] for ch in range(3)])
+            color = jnp.where(
+                valid[None],
+                (color * weight[None] + c3) / jnp.maximum(wnew, 1)[None],
+                color)
         return tsdf, wnew, color
 
     for d, c, v in zip(depths, colors, views):

@@ -95,7 +95,9 @@ def main():
 
     t_start = time.time()
     root = args.scene_dir or os.path.join(
-        tempfile.gettempdir(), f"gsjax_golden_scene_{args.scene}")
+        tempfile.gettempdir(),
+        f"gsjax_golden_scene_{args.scene}_{args.width}x{args.height}"
+        f"_n{args.n_images}_g{args.n_gauss}")
     if not os.path.exists(os.path.join(root, "sparse")):
         print(f"generating golden scene at {root}", flush=True)
         gen = {"sphere": sphere_gaussians, "blobs": blobs_gaussians}
