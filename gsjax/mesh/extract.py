@@ -45,6 +45,11 @@ def get_tetra_points(params: gm.GaussianParams, aux: gm.GaussianAux):
     xyz = np.asarray(params.xyz)[alive]
     scale = np.asarray(gm.scaling_with_3d_filter(params, aux.filter_3d))[alive]
     rot = np.asarray(to_rotation_matrix(normalize(params.rotation)))[alive]
+    # Delaunay rejects NaN; a NaN-poisoned (render-inert) gaussian that
+    # slipped past pruning must not kill the mesher
+    ok = (np.isfinite(xyz).all(1) & np.isfinite(scale).all(1)
+          & np.isfinite(rot).all((1, 2)))
+    xyz, scale, rot = xyz[ok], scale[ok], rot[ok]
 
     verts = np.concatenate([_BOX_CORNERS * 1.5, _FACE_CENTERS * 3.0], axis=0)  # [14,3]
     local = verts[None, :, :] * scale[:, None, :]                # [N,14,3]

@@ -344,7 +344,14 @@ def densify_and_prune(params: GaussianParams, aux: GaussianAux, adam: AdamState,
     clone_sel = grad_hit & small
     split_sel = ((grad_hit & ~small) | ((grads_abs >= q_val) & alive))
 
-    opac_keep = opac >= min_opacity
+    # prune non-finite params too: a NaN-poisoned gaussian is render-inert
+    # (preprocess culls it) but corrupts densify statistics and downstream
+    # consumers (the tetra mesher's Delaunay rejects NaN points — observed
+    # on the blobs golden scene, 135/86k alive slots NaN after 3.6k iters)
+    finite = jnp.isfinite(params.xyz).all(axis=1) & \
+        jnp.isfinite(get_scaling(params)).all(axis=1) & \
+        jnp.isfinite(opac)
+    opac_keep = (opac >= min_opacity) & finite
     survive = alive & ~split_sel & opac_keep
 
     # candidates: clone child, split child 1, split child 2

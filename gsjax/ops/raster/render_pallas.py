@@ -514,8 +514,36 @@ def _median_search(buf, px, py, eye, n_contrib, count, t_final, md_init,
             0, n_eval, body_flat if (flat or compact) else body, (zero, zero))
         return lf_const + lt, dt
 
-    l_lo, _ = eval_t(d_min)
-    l_hi, _ = eval_t(d_max)
+    def eval_pair(ts_a, ts_b):
+        """log T at TWO depths in one sweep — the bracket-end evaluations
+        share the cache-plane loads instead of sweeping twice (straight-line
+        compact/flat path only)."""
+        def body2(c, carry):
+            la, lb = carry
+            am = cache[c, 0]
+            tv = cache[c, 1]
+            rs = cache[c, 2]
+            l1m = cache[c, 3]
+
+            def one(ts):
+                delta = (ts - tv) * rs
+                hg = jnp.where(rs > 0, jnp.exp(-0.5 * delta * delta), 0.0)
+                om = jnp.maximum(1.0 - am * hg, 1e-12)
+                return jnp.where(ts > tv, l1m - 0.5 * jnp.log(om),
+                                 0.5 * jnp.log(om))
+
+            la = la + jnp.sum(one(ts_a), axis=0, keepdims=True)
+            lb = lb + jnp.sum(one(ts_b), axis=0, keepdims=True)
+            return (la, lb)
+
+        la, lb = jax.lax.fori_loop(0, n_eval, body2, (zero, zero))
+        return lf_const + la, lf_const + lb
+
+    if flat or compact:
+        l_lo, l_hi = eval_pair(d_min, d_max)
+    else:
+        l_lo, _ = eval_t(d_min)
+        l_hi, _ = eval_t(d_max)
     t_lo, t_hi = jnp.exp(l_lo), jnp.exp(l_hi)
     in_range = (t_final <= cfg.min_transmittance) & (t_lo >= 0.5) & (t_hi <= 0.5)
 

@@ -257,11 +257,15 @@ def main():
         "wall_s": round(time.time() - t_start, 1),
     }
     # Pass thresholds. Regression-tight on the r3-calibrated sphere scene
-    # (r3: 34.72 dB / chamfer 0.021, floored near the 0.02 TSDF voxel);
-    # blobs thresholds are calibrated by its first TPU run. Ablation runs
-    # (--no_reg) report metrics but only gate PSNR (their chamfer is the
-    # comparison POINT, not a target).
-    thr = {"sphere": (34.0, 0.025), "blobs": (28.0, 0.045)}[args.scene]
+    # (r3: 34.72 dB / chamfer 0.021, floored near the 0.02 TSDF voxel).
+    # Blobs calibrated by its first full TPU run (r4: 22.2 dB / 0.285 TSDF,
+    # 0.273 tetra at 3.6k iters, 86k gaussians) — an intentionally
+    # UNSATURATED hard scene: the gate is a regression floor, the headroom
+    # is the next round's target (d2s ~0.52 = free-space floaters inside
+    # the crop radius; candidate fix: visibility-based floater culling
+    # before meshing). Ablation runs (--no_reg) report metrics but only
+    # gate PSNR (their chamfer is the comparison POINT, not a target).
+    thr = {"sphere": (34.0, 0.025), "blobs": (20.0, 0.35)}[args.scene]
     result["thresholds"] = {"test_psnr_db_min": thr[0],
                             "chamfer_max": thr[1]}
     ch_ok = True if args.no_reg else (
