@@ -88,3 +88,59 @@ def test_spherical_gaussian_parity():
     ref = render_np(prep, cam, np.zeros(3), require_depth=False)
     np.testing.assert_allclose(np.asarray(out["render"]), ref["render"],
                                atol=1e-3, rtol=2e-3)
+
+
+def test_ellipse_cull_box_min_is_safe():
+    """The binning cull's box-min of q over a tile must never exceed the
+    true minimum over the tile's pixel grid (else a contributing pair could
+    be culled). Brute-force check over random anisotropic conics."""
+    import math
+
+    rng = np.random.default_rng(0)
+    tile = 32
+    alpha_min = 1.0 / 255.0
+    n_checked = n_culled = 0
+    for _ in range(400):
+        # random PSD conic with up to ~20:1 anisotropy, random tile offset
+        th = rng.uniform(0, np.pi)
+        l1 = rng.uniform(1e-4, 0.5)
+        l2 = l1 * rng.uniform(1.0, 20.0)
+        c, s = np.cos(th), np.sin(th)
+        r = np.array([[c, -s], [s, c]])
+        m = r @ np.diag([l1, l2]) @ r.T
+        ca, cb, cc = m[0, 0], m[0, 1], m[1, 1]
+        gx = rng.uniform(-40, 70)
+        gy = rng.uniform(-40, 70)
+        op = rng.uniform(0.01, 0.99)
+
+        # binning.py's box-min (dx = gx - px over the pixel box)
+        ax, bx = gx - (tile - 1), gx
+        ay, by = gy - (tile - 1), gy
+
+        def q(dx, dy):
+            return 0.5 * ca * dx * dx + cb * dx * dy + 0.5 * cc * dy * dy
+
+        if ax <= 0 <= bx and ay <= 0 <= by:
+            q_min = 0.0
+        else:
+            cl = lambda v, lo, hi: min(max(v, lo), hi)
+            q_min = min(
+                q(ax, cl(-cb * ax / max(cc, 1e-12), ay, by)),
+                q(bx, cl(-cb * bx / max(cc, 1e-12), ay, by)),
+                q(cl(-cb * ay / max(ca, 1e-12), ax, bx), ay),
+                q(cl(-cb * by / max(ca, 1e-12), ax, bx), by))
+
+        # true grid min over the tile's pixels
+        px, py = np.meshgrid(np.arange(tile), np.arange(tile))
+        dx = gx - px.ravel()
+        dy = gy - py.ravel()
+        q_grid = (0.5 * ca * dx * dx + cb * dx * dy + 0.5 * cc * dy * dy)
+        assert q_min <= q_grid.min() + 1e-6, \
+            f"box-min {q_min} > grid-min {q_grid.min()}"
+        n_checked += 1
+        thr = math.log(max(op, 1e-12) / alpha_min)
+        if q_min > thr + 1e-3:
+            # culled: every pixel must indeed fail the alpha test
+            assert (op * np.exp(-q_grid) < alpha_min).all()
+            n_culled += 1
+    assert n_checked == 400 and n_culled > 50   # the cull actually fires
