@@ -122,9 +122,25 @@ def _supervise():
     """Run the benchmark in a child process; on a crash (e.g. SIGSEGV from a
     persistent-cache entry truncated by an earlier killed process — observed
     2026-08-17 deserializing ~/.cache/gsjax-xla), wipe the cache and retry
-    once so the driver still gets a JSON line."""
+    once so the driver still gets a JSON line.
+
+    Before launching the child, wait out the axon lingering-claim window: a
+    TPU claim lingers 1–2 min after any process exits, and a fresh client
+    HANGS in PJRT init until it releases. Round 4's driver capture hit
+    exactly that and recorded 0.0; the probe-retry makes the window expected
+    weather instead of a zeroed round."""
     import shutil
     import subprocess
+
+    from gsjax.utils.devprobe import wait_for_device
+
+    if not wait_for_device(log=lambda m: print(m, file=sys.stderr)):
+        print(json.dumps({"metric": "raster_fwd_bwd_rays_per_s_1080p",
+                          "value": 0.0, "unit": "rays/s/chip",
+                          "vs_baseline": 0.0,
+                          "error": "device probe exhausted retries "
+                                   "(TPU unavailable)"}), flush=True)
+        sys.exit(3)
 
     env = dict(os.environ, GSJAX_BENCH_CHILD="1")
     r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)

@@ -28,6 +28,17 @@ BASELINE_ITER_MS = 1000.0 / 30.0   # reference-class ~30 train iters/s
 
 
 def main():
+    # Wait out the axon lingering-claim window before binding the chip
+    # (see gsjax/utils/devprobe.py; round-4's BENCH capture was zeroed by it).
+    from gsjax.utils.devprobe import wait_for_device
+    if not wait_for_device(log=lambda m: print(m, file=sys.stderr)):
+        print(json.dumps({"metric": "reg_train_step_ms_1080p",
+                          "value": 0.0, "unit": "ms/iter",
+                          "vs_baseline": 0.0,
+                          "error": "device probe exhausted retries "
+                                   "(TPU unavailable)"}), flush=True)
+        sys.exit(3)
+
     import jax
     if os.environ.get("GSJAX_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["GSJAX_PLATFORM"])
@@ -66,7 +77,15 @@ def main():
     cfg = RasterConfig(pair_capacity=1 << 21, live_capacity=1 << 20,
                        max_per_tile=1 << 11,
                        sh_degree=3, require_depth=True)
-    lc = LossConfig(reg_on=True, mv_on=True)
+    # multi-view query compaction: start from the Trainer's auto-init bucket
+    # (half the frame, gsjax/train/loop.py) and apply its same watermark-bump
+    # after the probe step below — the bench then measures the settled
+    # steady-state program, exactly what a real training loop runs.
+    # GSJAX_MV_COMPACT=0 reverts to the dense one-query-per-pixel path.
+    compact = os.environ.get("GSJAX_MV_COMPACT", "1") not in ("0", "")
+    from gsjax.train.loop import next_pow2
+    mv_cap = next_pow2((width * height) // 2) if compact else None
+    lc = LossConfig(reg_on=True, mv_on=True, mv_query_capacity=mv_cap)
     gt = jnp.asarray(rng.uniform(0, 1, (height, width, 3)).astype(np.float32))
     gray = jnp.asarray(rng.uniform(0, 1, (height, width)).astype(np.float32))
     bg = jnp.zeros(3)
@@ -83,7 +102,24 @@ def main():
     sync(m["loss"])
     print(f"warmup {time.perf_counter() - t0:.1f}s "
           f"loss={float(m['loss']):.4f} ncc={float(m['ncc_loss']):.4f} "
-          f"geo={float(m['geo_loss']):.5f}", file=sys.stderr)
+          f"geo={float(m['geo_loss']):.5f} "
+          f"mv_queries={int(m.get('mv_queries', 0))}", file=sys.stderr)
+    if compact and int(m["mv_queries"]) > 0.9 * mv_cap:
+        # the Trainer's monitor_capacity bump (loop.py): recompile once at
+        # the settled bucket
+        mv_cap = min(next_pow2(int(int(m["mv_queries"]) * 1.3)),
+                     next_pow2(width * height))
+        print(f"mv_query_capacity bump -> {mv_cap}", file=sys.stderr)
+        lc = LossConfig(reg_on=True, mv_on=True, mv_query_capacity=mv_cap)
+
+        def step(p, a, ad, gt, bg, gray):     # noqa: F811 (rebind on bump)
+            return train_step(p, a, ad, cam, gt, bg, lrs, cfg, lc,
+                              near_cam=near, gray_r=gray, gray_n=gray)
+        t0 = time.perf_counter()
+        params, aux, adam, m = step(params, aux, adam, gt, bg, gray)
+        sync(m["loss"])
+        print(f"re-warmup {time.perf_counter() - t0:.1f}s "
+              f"loss={float(m['loss']):.4f}", file=sys.stderr)
     sync(step(params, aux, adam, gt, bg, gray)[3]["loss"])   # settle
 
     t0 = time.perf_counter()

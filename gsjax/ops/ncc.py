@@ -58,7 +58,7 @@ def _bilinear(img, u, v):
             + wv1 * ((1 - wu1) * c10 + wu1 * c11))
 
 
-@partial(jax.jit, static_argnames=("radius", "half_step"))
+@partial(jax.jit, static_argnames=("radius", "half_step", "with_stats"))
 def warp_patch_ncc(depth: jax.Array,
                    normal: jax.Array,
                    gray_r: jax.Array,
@@ -69,7 +69,8 @@ def warp_patch_ncc(depth: jax.Array,
                    intr_n: jax.Array,
                    radius: int = 3,
                    half_step: bool = True,
-                   row_offset: jax.Array | int = 0):
+                   row_offset: jax.Array | int = 0,
+                   with_stats: bool = False):
     """Dense NCC^2 over the reference image (or a horizontal band of it).
 
     Args:
@@ -79,8 +80,13 @@ def warp_patch_ncc(depth: jax.Array,
       gray_r/gray_n: [H,W] FULL luma images (patch taps read globally).
       rel_rot: [3,3] ref-cam -> neighbour-cam rotation; rel_t: [3].
       intr_r/intr_n: (fx, fy, cx, cy).
+      with_stats: also return the count of pixels rejected ONLY by the
+        Pallas sampler's per-block window (geometrically valid taps past the
+        RU_E contraction width) — the observability asked for in ADVICE r4:
+        a large count flags extreme homographies silently losing NCC signal.
 
-    Returns (ncc [Hs,W] squared correlation in [0,1], valid [Hs,W] bool).
+    Returns (ncc [Hs,W] squared correlation in [0,1], valid [Hs,W] bool
+    [, win_rejected count scalar when with_stats]).
     """
     hs, w = depth.shape
     h, _ = gray_r.shape
@@ -167,9 +173,11 @@ def warp_patch_ncc(depth: jax.Array,
         from gsjax.ops.warp_sample import warp_sample
         c_n_k, ok = warp_sample(gray_n, un_k, vn_k,
                                 jax.default_backend() != "tpu")
+        win_rejected = jnp.sum((all_inside & ~ok).astype(jnp.int32))
         all_inside = all_inside & ok
     else:
         c_n_k = jax.vmap(lambda uu, vv: _bilinear(gray_n, uu, vv))(un_k, vn_k)
+        win_rejected = jnp.zeros((), jnp.int32)
 
     k = 0
     for dv in offs:
@@ -187,4 +195,6 @@ def warp_patch_ncc(depth: jax.Array,
     var_n = s_n2 - s_n * s_n / total
     ncc = cross * cross / (var_r * var_n + 1e-8)
     valid = all_inside & (var_r > 5e-6) & (var_n > 5e-6)
+    if with_stats:
+        return jnp.where(valid, ncc, 0.0), valid, win_rejected
     return jnp.where(valid, ncc, 0.0), valid

@@ -53,7 +53,8 @@ class Binning:
 def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int,
                   row_lo=None, row_hi=None,
                   pair_capacity: int | None = None,
-                  row_lo2=None, row_hi2=None) -> Binning:
+                  row_lo2=None, row_hi2=None,
+                  continuous_coords: bool = False) -> Binning:
     """Bin gaussians into depth-sorted per-tile pair lists.
 
     row_lo/row_hi (+ a smaller pair_capacity) restrict binning to the
@@ -67,7 +68,14 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
     row_lo2/row_hi2 add a SECOND disjoint row interval (must start at or
     after row_hi): the mirrored dual-band partition pairs a pair-dense band
     with a sparse one per device, cutting the row-quantisation load
-    imbalance of single contiguous bands (parallel/shard.py)."""
+    imbalance of single contiguous bands (parallel/shard.py).
+
+    continuous_coords: the render kernels evaluate pairs only at integer
+    pixel centres, so the exact ellipse cull's box-min runs over
+    [tile*t, tile*t + tile - 1]. The point-query path (ops/sample.py)
+    evaluates at CONTINUOUS coordinates that can lie in the sub-pixel strip
+    (tile - 1, tile) of a tile — pass True there to extend the cull box to
+    the full tile extent so such pairs are never wrongly culled."""
     tiles_x, tiles_y = cfg.grid(width, height)
     num_tiles = tiles_x * tiles_y
     k = pair_capacity if pair_capacity is not None else cfg.pair_capacity
@@ -161,9 +169,10 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig, width: int, height: int
     op = packed[:, 12]
     txp = (tx * cfg.tile).astype(jnp.float32)
     typ = (ty * cfg.tile).astype(jnp.float32)
-    ax = gx - (txp + cfg.tile - 1)                 # dx = gx - px range
+    box_hi = cfg.tile if continuous_coords else cfg.tile - 1
+    ax = gx - (txp + box_hi)                       # dx = gx - px range
     bx = gx - txp
-    ay = gy - (typ + cfg.tile - 1)
+    ay = gy - (typ + box_hi)
     by = gy - typ
     ca_s = jnp.maximum(ca, 1e-12)
     cc_s = jnp.maximum(cc, 1e-12)

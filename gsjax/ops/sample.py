@@ -176,7 +176,10 @@ def _query(points, means3d, scales, rotations, opacities, camera, cfg,
     shs = jnp.zeros((means3d.shape[0], 1, 3))
     prep = preprocess(means3d, scales, rotations, opacities, shs,
                       None, None, None, camera, cfg, alive)
-    binning = bin_gaussians(prep, cfg, camera.width, camera.height)
+    # continuous_coords: query points can sit in the sub-pixel strip past the
+    # last pixel centre of a tile; the cull box must cover the full extent
+    binning = bin_gaussians(prep, cfg, camera.width, camera.height,
+                            continuous_coords=True)
     feats_pairs = render_ref.prepare_pairs(prep, binning, cfg)
 
     px, py, t_ray, inside0 = _project_points(points, camera, cfg)

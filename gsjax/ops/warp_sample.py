@@ -89,7 +89,18 @@ def _kernel(uv_ref, img_hbm, out_ref, region, sem, *, n_taps: int,
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (RV, P), 0).astype(_f32)
     uminf = umin_raw.astype(_f32)
     vminf = vmin.astype(_f32)
-    u_hi = min(RU_E, w_img) - 1.001
+    if RU_E == RU:
+        # The rotate wraps columns [umin, umin_raw) into lanes
+        # [RU - d, RU) (d = umin_raw - umin); with RU_E == RU those wrapped
+        # lanes sit INSIDE reg[:, :RU_E], so the valid range must stop before
+        # them: shift = (RU - d) mod RU lanes are true window columns
+        # (shift == 0 <=> d == 0 <=> all RU columns valid). For RU_E <= 128
+        # the wrapped lanes start at >= RU - 127 > 128 >= RU_E and are
+        # sliced away, so the static cap below is exact. (ADVICE r4)
+        valid_cols = jnp.where(shift > 0, shift, RU).astype(_f32)
+        u_hi = jnp.minimum(valid_cols, float(min(RU_E, w_img))) - 1.001
+    else:
+        u_hi = min(RU_E, w_img) - 1.001
 
     # STATIC tap loop (n_taps is a trace-time constant): a fori_loop made
     # every uv row read and every output row write a dynamic-sublane slice —

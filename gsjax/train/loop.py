@@ -56,6 +56,11 @@ class Trainer:
     pair_capacity: int = 1 << 18
     live_capacity: int = 1 << 17
     max_per_tile: int = 1 << 10
+    # static sample_depth query budget for the PGSR geometric loss (0 =
+    # auto-init to half the frame on the first multi-view step; compaction
+    # is loss-exact, see gsjax/train/multiview.py). GSJAX_MV_COMPACT=0
+    # reverts to one query per pixel (dense).
+    mv_query_capacity: int = 0
     iteration: int = 0
     key: jax.Array = None
     # multi-chip: tiles sharded over `mesh` (None = single-device step);
@@ -242,6 +247,9 @@ class Trainer:
             return True
         if int(metrics.get("num_live_pairs", 0)) > self.live_capacity:
             return True
+        if self.mv_query_capacity and \
+                int(metrics.get("mv_queries", 0)) > self.mv_query_capacity:
+            return True   # compacted query list truncated valid pixels
         if self.sharded:
             return int(metrics["dev_num_pairs"]) > self.dev_pair_capacity
         return int(metrics["num_pairs"]) > self.pair_capacity
@@ -277,6 +285,15 @@ class Trainer:
         if mtc > 0.9 * self.max_per_tile:
             self.max_per_tile = next_pow2(int(mtc * 2.5))
             recompiled = True
+        nq = int(metrics.get("mv_queries", 0))
+        if self.mv_query_capacity and nq > 0.9 * self.mv_query_capacity:
+            # queries are bounded by the frame size, so growth is gentler
+            # than the pair buckets (x1.3 before pow2 rounding) and clamps
+            # at the largest frame (capacity beyond q buys nothing)
+            qmax = max(v.width * v.height for v in self.scene.train_views)
+            self.mv_query_capacity = min(next_pow2(int(nq * 1.3)),
+                                         next_pow2(qmax))
+            recompiled = True
         n_alive = int(jnp.sum(self.aux.alive))
         if n_alive > 0.9 * self.params.capacity:
             self.params, self.aux, self.adam = gm.grow_capacity(
@@ -302,6 +319,13 @@ class Trainer:
         if reg_on and view.nearest_ids and (
                 o.lambda_multi_view_ncc > 0 or o.lambda_multi_view_geo > 0):
             near = self.scene.train_views[random.choice(view.nearest_ids)]
+        mv_cap = None
+        if near is not None and \
+                os.environ.get("GSJAX_MV_COMPACT", "1") not in ("0", ""):
+            if self.mv_query_capacity == 0:
+                self.mv_query_capacity = next_pow2(
+                    (view.width * view.height) // 2)
+            mv_cap = self.mv_query_capacity
         cfg = self.raster_cfg(require_depth=reg_on)
         lcfg = LossConfig(
             lambda_dssim=o.lambda_dssim,
@@ -311,7 +335,10 @@ class Trainer:
             reg_on=reg_on, mv_on=near is not None,
             pixel_noise_th=o.multi_view_pixel_noise_th,
             patch_size=o.multi_view_patch_size,
-            appearance=self.app.kind)
+            appearance=self.app.kind,
+            # sharded steps keep the dense band formulation for now (bands
+            # already shrink the per-device query count ~1/N)
+            mv_query_capacity=None if self.sharded else mv_cap)
 
         emb = self.app.table[view.uid] if self.app.table is not None else None
         if self.random_background:

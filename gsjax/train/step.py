@@ -33,6 +33,11 @@ class LossConfig:
     pixel_noise_th: float = 1.0
     patch_size: int = 3
     appearance: str = "no"        # no | gs | pgsr | gof
+    # static sample_depth query budget for the multi-view geometric loss
+    # (None = one query per pixel). Compaction to depth-valid in-frustum
+    # pixels is loss-exact; the Trainer bumps this like the pair buffers on
+    # the metrics["mv_queries"] watermark (gsjax/train/multiview.py).
+    mv_query_capacity: int | None = None
 
 
 @partial(jax.jit, static_argnames=("cfg", "loss_cfg"))
@@ -87,20 +92,24 @@ def train_step(params: gm.GaussianParams,
             dn_loss = losses.depth_normal_loss(out["normal"], dnormal, valid)
 
         ncc_loss = geo_loss = jnp.zeros(())
+        ncc_win_rej = jnp.zeros((), jnp.int32)
+        mv_queries = jnp.zeros((), jnp.int32)
         if (loss_cfg.reg_on and loss_cfg.mv_on and cfg.require_depth
                 and (loss_cfg.lambda_mv_ncc > 0 or loss_cfg.lambda_mv_geo > 0)):
             from gsjax.train.multiview import patchmatch_losses
-            ncc_loss, geo_loss = patchmatch_losses(
+            ncc_loss, geo_loss, ncc_win_rej, mv_queries = patchmatch_losses(
                 out["median_depth"], out["normal"],
                 p.xyz, scales, p.rotation, opac, aux.alive,
                 camera, near_cam, gray_r, gray_n, cfg,
-                loss_cfg.pixel_noise_th, loss_cfg.patch_size)
+                loss_cfg.pixel_noise_th, loss_cfg.patch_size,
+                query_capacity=loss_cfg.mv_query_capacity)
 
         total = (rgb_loss + loss_cfg.lambda_depth_normal * dn_loss
                  + loss_cfg.lambda_mv_ncc * ncc_loss
                  + loss_cfg.lambda_mv_geo * geo_loss)
         metrics = dict(loss=total, l1=ll1, ssim=ssim_val, dn_loss=dn_loss,
                        ncc_loss=ncc_loss, geo_loss=geo_loss,
+                       ncc_win_rej=ncc_win_rej, mv_queries=mv_queries,
                        num_pairs=out["num_pairs"],
                        num_live_pairs=out["num_live_pairs"],
                        max_tile_count=out["max_tile_count"])

@@ -64,22 +64,27 @@ def main():
                 ssims.append(float(losses.ssim(r3, g3)))
                 lp = lpips_mod.lpips(r3, g3, lp_weights) if lp_weights else None
                 lpipss.append(lp)
+            # LPIPS stays null (numeric consumers handle None/skip), with a
+            # sibling status field carrying the human-readable reason — a
+            # string in the numeric slot breaks float()/comparison consumers
+            # (ADVICE r4).
+            lp_status = "ok" if lp_weights else "weights unavailable"
             full[method] = {
                 "PSNR": float(np.mean(psnrs)),
                 "SSIM": float(np.mean(ssims)),
-                # explicit marker (not a bare null): downstream comparisons
-                # must not silently treat a missing metric as 0
                 "LPIPS": (float(np.mean([x for x in lpipss if x is not None]))
-                          if lp_weights else "weights unavailable"),
+                          if lp_weights else None),
+                "LPIPS_status": lp_status,
             }
             per_view[method] = {
                 "PSNR": dict(zip(names, psnrs)),
                 "SSIM": dict(zip(names, ssims)),
-                "LPIPS": (dict(zip(names, lpipss)) if lp_weights
-                          else "weights unavailable"),
+                "LPIPS": (dict(zip(names, lpipss)) if lp_weights else None),
+                "LPIPS_status": lp_status,
             }
             print(f"  {method}: PSNR {full[method]['PSNR']:.4f} "
-                  f"SSIM {full[method]['SSIM']:.4f} LPIPS {full[method]['LPIPS']}")
+                  f"SSIM {full[method]['SSIM']:.4f} "
+                  f"LPIPS {full[method]['LPIPS']} ({lp_status})")
         with open(os.path.join(model_path, "results.json"), "w") as f:
             json.dump(full, f, indent=2)
         with open(os.path.join(model_path, "per_view.json"), "w") as f:

@@ -144,3 +144,89 @@ def test_ellipse_cull_box_min_is_safe():
             assert (op * np.exp(-q_grid) < alpha_min).all()
             n_culled += 1
     assert n_checked == 400 and n_culled > 50   # the cull actually fires
+
+
+def test_ellipse_cull_continuous_coords_box():
+    """ADVICE r4 (medium): the point-query path evaluates pairs at CONTINUOUS
+    coordinates, which can land in the sub-pixel strip (tile-1, tile) past a
+    tile's last pixel centre. bin_gaussians(continuous_coords=True) must keep
+    a pair whose alpha only reaches alpha_min inside that strip; the default
+    pixel-centre box may cull it (that is correct for the render kernels)."""
+    import dataclasses
+
+    import jax
+
+    from gsjax.ops.raster.binning import bin_gaussians
+    from gsjax.ops.raster.preprocess import Preprocessed
+
+    # one sharp low-opacity gaussian centred at x=31.7 (inside tile 0's strip)
+    f = jnp.float32
+    prep = Preprocessed(
+        mean2d=jnp.asarray([[31.7, 8.0]], f),
+        depth=jnp.asarray([5.0], f),
+        radius=jnp.asarray([5], jnp.int32),
+        conic=jnp.asarray([[3.0, 0.0, 3.0]], f),
+        opacity=jnp.asarray([0.005], f),
+        color=jnp.zeros((1, 3), f),
+        ray_plane=jnp.zeros((1, 4), f),
+        normal=jnp.zeros((1, 3), f),
+        rect_min=jnp.asarray([[0, 0]], jnp.int32),
+        rect_wh=jnp.asarray([[2, 1]], jnp.int32),
+        tiles_touched=jnp.asarray([2], jnp.int32),
+        valid=jnp.asarray([True]),
+    )
+    cfg = RasterConfig(tile=32, pair_capacity=64, max_per_tile=32)
+    # thr = ln(op/alpha_min) = ln(1.275) ~ 0.243
+    # pixel-centre box of tile 0: min q = q(31.7-31, 0) = 0.5*3*0.49 = 0.735
+    #   -> culled (correct for integer pixel centres: none reaches alpha_min)
+    # continuous box of tile 0: centre inside -> q_min = 0 -> kept
+    b_pix = bin_gaussians(prep, cfg, 64, 32, continuous_coords=False)
+    b_cont = bin_gaussians(prep, cfg, 64, 32, continuous_coords=True)
+    assert int(b_pix.tile_count[0]) == 0, "pixel-centre box should cull tile 0"
+    assert int(b_cont.tile_count[0]) == 1, \
+        "continuous box must keep the strip-only pair (ADVICE r4 medium)"
+    # tile 1 (x in [32,63]): q(31.7-32,0) = 0.135 <= thr -> kept in both
+    assert int(b_pix.tile_count[1]) == 1 and int(b_cont.tile_count[1]) == 1
+
+
+def test_ellipse_cull_continuous_box_min_is_safe():
+    """Continuous-box variant of the safety property: the box-min over
+    [0, tile] must never exceed q at ANY continuous coordinate in the tile
+    extent [0, tile) (query points live there, not just pixel centres)."""
+    rng = np.random.default_rng(7)
+    tile = 32
+    for _ in range(300):
+        th = rng.uniform(0, np.pi)
+        l1 = rng.uniform(1e-4, 0.5)
+        l2 = l1 * rng.uniform(1.0, 20.0)
+        c, s = np.cos(th), np.sin(th)
+        r = np.array([[c, -s], [s, c]])
+        m = r @ np.diag([l1, l2]) @ r.T
+        ca, cb, cc = m[0, 0], m[0, 1], m[1, 1]
+        gx = rng.uniform(-40, 70)
+        gy = rng.uniform(-40, 70)
+
+        # binning.py continuous box: dx = gx - px over px in [0, tile]
+        ax, bx = gx - tile, gx
+        ay, by = gy - tile, gy
+
+        def q(dx, dy):
+            return 0.5 * ca * dx * dx + cb * dx * dy + 0.5 * cc * dy * dy
+
+        if ax <= 0 <= bx and ay <= 0 <= by:
+            q_min = 0.0
+        else:
+            cl = lambda v, lo, hi: min(max(v, lo), hi)
+            q_min = min(
+                q(ax, cl(-cb * ax / max(cc, 1e-12), ay, by)),
+                q(bx, cl(-cb * bx / max(cc, 1e-12), ay, by)),
+                q(cl(-cb * ay / max(ca, 1e-12), ax, bx), ay),
+                q(cl(-cb * by / max(ca, 1e-12), ax, bx), by))
+
+        # continuous sample points in [0, tile) incl. the sub-pixel strip
+        px = rng.uniform(0, tile, 512)
+        py = rng.uniform(0, tile, 512)
+        px[:8] = rng.uniform(tile - 1, tile, 8)   # force strip coverage
+        dx, dy = gx - px, gy - py
+        q_pts = 0.5 * ca * dx * dx + cb * dx * dy + 0.5 * cc * dy * dy
+        assert q_min <= q_pts.min() + 1e-6
