@@ -104,12 +104,20 @@ def main():
           f"loss={float(m['loss']):.4f} ncc={float(m['ncc_loss']):.4f} "
           f"geo={float(m['geo_loss']):.5f} "
           f"mv_queries={int(m.get('mv_queries', 0))}", file=sys.stderr)
+    new_cap = None
     if compact and int(m["mv_queries"]) > 0.9 * mv_cap:
         # the Trainer's monitor_capacity bump (loop.py): recompile once at
         # the settled bucket
-        mv_cap = min(next_pow2(int(int(m["mv_queries"]) * 1.3)),
-                     next_pow2(width * height))
-        print(f"mv_query_capacity bump -> {mv_cap}", file=sys.stderr)
+        new_cap = min(next_pow2(int(int(m["mv_queries"]) * 1.3)),
+                      next_pow2(width * height))
+    elif compact:
+        # the Trainer's settled-watermark SHRINK (loop.py mv_shrink_target):
+        # the bench scene is static, so one watermark IS the 30-step max
+        from gsjax.train.loop import mv_shrink_target
+        new_cap = mv_shrink_target(int(m["mv_queries"]), mv_cap)
+    if new_cap is not None:
+        mv_cap = new_cap
+        print(f"mv_query_capacity settle -> {mv_cap}", file=sys.stderr)
         lc = LossConfig(reg_on=True, mv_on=True, mv_query_capacity=mv_cap)
 
         def step(p, a, ad, gt, bg, gray):     # noqa: F811 (rebind on bump)

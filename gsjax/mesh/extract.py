@@ -36,9 +36,16 @@ _FACE_CENTERS = np.array(
     np.float32)
 
 
-def get_tetra_points(params: gm.GaussianParams, aux: gm.GaussianAux):
+def get_tetra_points(params: gm.GaussianParams, aux: gm.GaussianAux,
+                     min_opacity: float = 0.0):
     """8 box corners x1.5 + 6 face centers x3 per gaussian (filtered scales)
-    + centres; per-vertex scale = 3 * max filtered scale."""
+    + centres; per-vertex scale = 3 * max filtered scale.
+
+    min_opacity > 0 culls gaussians whose FILTERED opacity (the blend-time
+    value, gaussian_model.py:189-200) is below it before point generation —
+    low-opacity free-space floaters otherwise seed tetra vertices whose
+    alpha-cull SDF can cross 0.5 along rays through the floater itself,
+    leaving junk surface no view supports."""
     from gsjax.core.quaternion import normalize, to_rotation_matrix
 
     alive = np.asarray(aux.alive)
@@ -49,6 +56,9 @@ def get_tetra_points(params: gm.GaussianParams, aux: gm.GaussianAux):
     # slipped past pruning must not kill the mesher
     ok = (np.isfinite(xyz).all(1) & np.isfinite(scale).all(1)
           & np.isfinite(rot).all((1, 2)))
+    if min_opacity > 0.0:
+        _, opac = gm.scaling_n_opacity_with_3d_filter(params, aux.filter_3d)
+        ok = ok & (np.asarray(opac)[:, 0][alive] >= min_opacity)
     xyz, scale, rot = xyz[ok], scale[ok], rot[ok]
 
     verts = np.concatenate([_BOX_CORNERS * 1.5, _FACE_CENTERS * 3.0], axis=0)  # [14,3]
@@ -110,9 +120,11 @@ def _sample_mask(view, pts):
 
 def extract_mesh_tetrahedra(params, aux, views, cfg: RasterConfig,
                             n_binary_steps: int = 10, cluster_to_keep: int = 1,
-                            verbose=True):
-    """Full tetra route. Returns dict of meshes (init/raw/post)."""
-    points, points_scale = get_tetra_points(params, aux)
+                            min_opacity: float = 0.0, verbose=True):
+    """Full tetra route. Returns dict of meshes (init/raw/post).
+    min_opacity: optional pre-cull of low-opacity gaussians (floaters)
+    before tetra-point generation (see get_tetra_points)."""
+    points, points_scale = get_tetra_points(params, aux, min_opacity)
     if verbose:
         print(f"tetra points: {len(points)}; triangulating...", flush=True)
     cells = triangulate(points)

@@ -4,6 +4,8 @@ from gsjax.parallel.shard import (  # noqa: F401
     dual_balance_bounds,
     equal_band_bounds,
     make_mesh,
+    pair_bands,
+    paired_balance_bounds,
     render_sharded,
     render_views_sharded,
     stack_cameras,

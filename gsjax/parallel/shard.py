@@ -212,6 +212,81 @@ def dual_balance_bounds(row_pairs, n_dev: int,
     return b.astype(np.int32)
 
 
+def pair_bands(shares, band_rows, rows_per_max: int) -> np.ndarray:
+    """Greedy matching of 2n bands into n (band_a, band_b) device pairs:
+    heaviest unpaired band joins the lightest partner whose combined height
+    fits rows_per_max. Returns [n,2] int32 with pair[:,0] < pair[:,1].
+
+    The mirrored pairing (band d with 2n-1-d) couples the two CENTRAL bands
+    — on centre-heavy scenes that device carries ~2x the edge devices
+    (SCALING_MODEL_r04: share_max 0.076 vs ideal 0.0625 at 16 devices);
+    heavy-with-light matching removes exactly that."""
+    nb = len(shares)
+    order = np.argsort(-np.asarray(shares, np.float64))
+    unpaired = list(order)
+    pairs = []
+    while unpaired:
+        a = unpaired.pop(0)                     # heaviest remaining
+        pick = None
+        for j in range(len(unpaired) - 1, -1, -1):   # lightest first
+            if band_rows[a] + band_rows[unpaired[j]] <= rows_per_max:
+                pick = j
+                break
+        if pick is None:
+            pick = len(unpaired) - 1            # infeasible: least-bad
+        b = unpaired.pop(pick)
+        pairs.append((min(a, b), max(a, b)))
+    return np.asarray(sorted(pairs), np.int32)
+
+
+def paired_balance_bounds(row_pairs, n_dev: int,
+                          rows_per_max: int):
+    """Free-paired dual-band partition: (bounds [2n+1], band_pair [n,2]).
+
+    Cuts the rows into 2n contiguous bands at greedy equal-pair quantiles,
+    matches bands heavy-with-light (`pair_bands`), then hill-climbs the
+    boundaries (+-1 row, re-matching after each move) to minimise the max
+    per-DEVICE share, subject to each device's total height <= rows_per_max
+    (the static Pallas grid bound). Host-side numpy; any valid partition +
+    matching yields bit-identical losses/gradients."""
+    w = np.asarray(row_pairs, np.float64) + 1e-3
+    tiles_y = w.shape[0]
+    nb = 2 * n_dev
+    cum = np.concatenate([[0.0], np.cumsum(w)])
+    # initial bands capped at rows_per_max//2 so EVERY matching is feasible
+    # at the start; the climb may then grow a band up to rows_per_max minus
+    # its partner's height (enforced through best_match's feasibility
+    # penalty)
+    b = balance_band_bounds(row_pairs, nb,
+                            max(rows_per_max // 2, 1)).astype(np.int64)
+
+    def best_match(bb):
+        shares = cum[bb[1:]] - cum[bb[:-1]]
+        rows = bb[1:] - bb[:-1]
+        pr = pair_bands(shares, rows, rows_per_max)
+        dev = shares[pr[:, 0]] + shares[pr[:, 1]]
+        hfit = (rows[pr[:, 0]] + rows[pr[:, 1]] <= rows_per_max).all()
+        return pr, float(dev.max()) + (0.0 if hfit else 1e18)
+
+    pair, cur = best_match(b)
+    for _ in range(30 * nb):
+        best_gain, best = 0.0, None
+        for i in range(1, nb):
+            for dlt in (-1, 1):
+                v = b[i] + dlt
+                if not (b[i - 1] <= v <= b[i + 1]):
+                    continue
+                b2 = b.copy()
+                b2[i] = v
+                pr2, m = best_match(b2)
+                if cur - m > best_gain:
+                    best_gain, best = cur - m, (b2, pr2, m)
+        if best is None:
+            break
+        b, pair, cur = best
+    return b.astype(np.int32), pair
+
+
 def _band_grid(camera: Camera, cfg: RasterConfig, n_dev: int):
     tiles_x, tiles_y = cfg.grid(camera.width, camera.height)
     rows_per = -(-tiles_y // n_dev)
@@ -219,23 +294,28 @@ def _band_grid(camera: Camera, cfg: RasterConfig, n_dev: int):
 
 
 def _my_band_tiles(row_bounds, i_dev, rows_per_max: int, tiles_x: int,
-                   num_tiles: int, n_dev: int | None = None):
+                   num_tiles: int, n_dev: int | None = None,
+                   band_pair=None):
     """Global tile ids of this device's band(s), padded to the static
     rows_per_max x tiles_x grid with the sentinel `num_tiles` (downstream
     masks force count=0 for sentinel tiles).
 
     With a [n_dev+1] partition the device owns rows
-    [row_bounds[i], row_bounds[i+1]). With a [2*n_dev+1] partition (mirrored
-    dual bands) it owns bands i and 2*n_dev-1-i, laid consecutively in its
-    local buffer (band A rows first)."""
+    [row_bounds[i], row_bounds[i+1]). With a [2*n_dev+1] partition it owns
+    TWO bands, laid consecutively in its local buffer (band A rows first):
+    bands band_pair[i] when given (free heavy-with-light matching,
+    `paired_balance_bounds`), else the mirrored (i, 2*n_dev-1-i)."""
     r_loc = jnp.arange(rows_per_max, dtype=jnp.int32)
     if n_dev is not None and row_bounds.shape[0] == 2 * n_dev + 1:
-        j2 = 2 * n_dev - 1 - i_dev
-        len_a = row_bounds[i_dev + 1] - row_bounds[i_dev]
-        len_b = row_bounds[j2 + 1] - row_bounds[j2]
+        if band_pair is None:
+            ba, bb = i_dev, 2 * n_dev - 1 - i_dev
+        else:
+            ba, bb = band_pair[i_dev, 0], band_pair[i_dev, 1]
+        len_a = row_bounds[ba + 1] - row_bounds[ba]
+        len_b = row_bounds[bb + 1] - row_bounds[bb]
         rows = jnp.where(r_loc < len_a,
-                         row_bounds[i_dev] + r_loc,
-                         row_bounds[j2] + (r_loc - len_a))
+                         row_bounds[ba] + r_loc,
+                         row_bounds[bb] + (r_loc - len_a))
         in_band = r_loc < len_a + len_b
     else:
         rows = row_bounds[i_dev] + r_loc
@@ -247,7 +327,7 @@ def _my_band_tiles(row_bounds, i_dev, rows_per_max: int, tiles_x: int,
 
 def _assemble_band_tiles(local: dict, row_bounds, rows_per_max: int,
                          tiles_x: int, tiles_y: int,
-                         n_dev: int | None = None) -> dict:
+                         n_dev: int | None = None, band_pair=None) -> dict:
     """all_gather per-device tile buffers and re-order into global tile order.
 
     Device d's buffer holds its band rows (both bands, consecutively, under
@@ -261,10 +341,23 @@ def _assemble_band_tiles(local: dict, row_bounds, rows_per_max: int,
     k_band = jnp.searchsorted(row_bounds[1:-1], g_rows,
                               side="right").astype(jnp.int32)
     if n_dev is not None and row_bounds.shape[0] == 2 * n_dev + 1:
-        owner = jnp.where(k_band < n_dev, k_band, 2 * n_dev - 1 - k_band)
+        if band_pair is None:
+            owner = jnp.where(k_band < n_dev, k_band, 2 * n_dev - 1 - k_band)
+            is_a = k_band < n_dev
+            first = jnp.where(is_a, k_band, 2 * n_dev - 1 - k_band)
+        else:
+            nb = 2 * n_dev
+            dev_ids = jnp.arange(n_dev, dtype=jnp.int32)
+            band_owner = jnp.zeros((nb,), jnp.int32) \
+                .at[band_pair[:, 0]].set(dev_ids) \
+                .at[band_pair[:, 1]].set(dev_ids)
+            band_is_a = jnp.zeros((nb,), bool).at[band_pair[:, 0]].set(True)
+            owner = band_owner[k_band]
+            is_a = band_is_a[k_band]
+            first = band_pair[owner, 0]
         # band A sits at local row 0; band B after band A's rows
-        len_a = row_bounds[owner + 1] - row_bounds[owner]
-        slot = jnp.where(k_band < n_dev,
+        len_a = row_bounds[first + 1] - row_bounds[first]
+        slot = jnp.where(is_a,
                          g_rows - row_bounds[k_band],
                          len_a + (g_rows - row_bounds[k_band]))
     else:
@@ -395,7 +488,8 @@ def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                        near_cam: Camera | None = None,
                        gray_r=None, gray_n=None,
                        dev_pair_capacity: int | None = None,
-                       row_bounds=None, rows_per_max: int | None = None):
+                       row_bounds=None, rows_per_max: int | None = None,
+                       band_pair=None):
     """Thin default-filling wrapper. Defaults are canonicalised BEFORE the
     jit boundary: a `row_bounds=None` call and an explicit equal-bounds call
     must hit the SAME compiled program (None is a different pytree treedef —
@@ -406,10 +500,14 @@ def train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
         row_bounds = equal_band_bounds(tiles_y, n_dev)
     if rows_per_max is None:
         rows_per_max = rows_per
+    if band_pair is None:
+        band_pair = np.stack([np.arange(n_dev),
+                              2 * n_dev - 1 - np.arange(n_dev)], 1)
     return _train_step_sharded(
         params, aux, adam, camera, gt_image, bg, lrs, cfg, loss_cfg, mesh,
         app_embedding, app_net, near_cam, gray_r, gray_n, dev_pair_capacity,
-        jnp.asarray(row_bounds, jnp.int32), int(rows_per_max))
+        jnp.asarray(row_bounds, jnp.int32), int(rows_per_max),
+        jnp.asarray(band_pair, jnp.int32))
 
 
 @partial(jax.jit,
@@ -424,7 +522,8 @@ def _train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                         near_cam: Camera | None = None,
                         gray_r=None, gray_n=None,
                         dev_pair_capacity: int | None = None,
-                        row_bounds=None, rows_per_max: int | None = None):
+                        row_bounds=None, rows_per_max: int | None = None,
+                        band_pair=None):
     """Sharded train step, full parity with `train.step.train_step`:
     per-device binning + tile blend, psum'd parameter / mean2d-tap /
     appearance gradients, replicated Adam update, densification stats.
@@ -444,8 +543,10 @@ def _train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
 
     `row_bounds` (traced [n_dev+1] tile-row partition) + static
     `rows_per_max` enable equal-PAIR load-balanced bands (see
-    `balance_band_bounds`); default is equal rows. Any valid partition
-    produces identical losses/gradients."""
+    `balance_band_bounds`); default is equal rows. A [2n+1] partition adds
+    a second band per device — mirrored (d, 2n-1-d) by default, or matched
+    by the traced `band_pair` [n,2] (`paired_balance_bounds`). Any valid
+    partition produces identical losses/gradients."""
     n_dev = mesh.devices.size
     tiles_x, tiles_y, rows_per = _band_grid(camera, cfg, n_dev)
     if row_bounds is None:
@@ -454,6 +555,11 @@ def _train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
         rows_per_max = rows_per
     num_tiles = tiles_x * tiles_y
     row_bounds = jnp.asarray(row_bounds, jnp.int32)
+    if band_pair is None:
+        # canonical mirrored matching — one treedef for both cases
+        band_pair = np.stack([np.arange(n_dev),
+                              2 * n_dev - 1 - np.arange(n_dev)], 1)
+    band_pair = jnp.asarray(band_pair, jnp.int32)
     height, width = int(camera.height), int(camera.width)
     mv_on = (loss_cfg.reg_on and loss_cfg.mv_on and cfg.require_depth
              and near_cam is not None
@@ -471,9 +577,9 @@ def _train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
     bv = -(-hv // n_dev)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
+             in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
              out_specs=P(), check_vma=False)
-    def run(p, aux_, gt, bg_, rb, gr, gn, emb, net):
+    def run(p, aux_, gt, bg_, rb, gr, gn, emb, net, bp):
         i_dev = jax.lax.axis_index(AXIS)
 
         def loss_fn(p_, mean2d_offset, emb_, net_):
@@ -510,18 +616,20 @@ def _train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                 prep_loc)
             prep = dataclasses.replace(prep, mean2d=prep.mean2d + mean2d_offset)
             dual = rb.shape[0] == 2 * n_dev + 1
-            j2 = 2 * n_dev - 1 - i_dev
+            ba, bb = bp[i_dev, 0], bp[i_dev, 1]
             binning = bin_gaussians(
-                prep, cfg, width, height, row_lo=rb[i_dev],
-                row_hi=rb[i_dev + 1], pair_capacity=dev_pair_capacity,
-                row_lo2=rb[j2] if dual else None,
-                row_hi2=rb[j2 + 1] if dual else None)
+                prep, cfg, width, height,
+                row_lo=rb[ba] if dual else rb[i_dev],
+                row_hi=rb[ba + 1] if dual else rb[i_dev + 1],
+                pair_capacity=dev_pair_capacity,
+                row_lo2=rb[bb] if dual else None,
+                row_hi2=rb[bb + 1] if dual else None)
             my_tiles = _my_band_tiles(rb, i_dev, rows_per_max, tiles_x,
-                                      num_tiles, n_dev)
+                                      num_tiles, n_dev, band_pair=bp)
             local = _render_local_tiles(prep, binning, camera, cfg, bg_,
                                         my_tiles)
             full = _assemble_band_tiles(local, rb, rows_per_max, tiles_x,
-                                        tiles_y, n_dev)
+                                        tiles_y, n_dev, band_pair=bp)
             img = _tiles_to_image(full["color"], tiles_x, tiles_y,
                                   width, height, cfg)
 
@@ -682,7 +790,7 @@ def _train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
 
     metrics, side, gp, g2d, g_emb, g_net = run(
         params, aux, gt_image, bg, row_bounds, gray_r, gray_n,
-        app_embedding, app_net)
+        app_embedding, app_net, band_pair)
     metrics["app_grad"] = g_emb
     metrics["app_net_grad"] = g_net
     aux = gm.add_densification_stats(aux, g2d, side["visibility"],

@@ -37,6 +37,24 @@ def next_pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 1).bit_length()
 
 
+MV_CAP_FLOOR = 1 << 14
+
+
+def mv_shrink_target(watermark_max: int, capacity: int) -> int | None:
+    """Shrunk mv_query bucket for a settled watermark, or None to keep.
+
+    sample_depth's cost scales with its static row count, and real scenes
+    settle FAR below the half-frame auto-init (the 1080p bench: 48k valid
+    queries vs the 2^20 bucket — profile_mv_r5: 546 -> 389 ms/step at the
+    right bucket). Shrink to pow2(1.3 x the recent watermark max), floored;
+    only worth a recompile when that at least halves the bucket. The 1.3
+    headroom matches the grow path; oscillation is bounded by the caller's
+    30-step window, the halving requirement, and the loss-free overflow
+    retry (a shrink can never train a truncated step)."""
+    tgt = max(next_pow2(int(watermark_max * 1.3) + 1), MV_CAP_FLOOR)
+    return tgt if tgt <= capacity // 2 else None
+
+
 @dataclasses.dataclass
 class Trainer:
     scene: SceneInfo
@@ -88,6 +106,15 @@ class Trainer:
     _gt_cache: dict = dataclasses.field(default_factory=dict)
     debug: bool = False   # write gt/render/normal/depth mosaics (PatchMatch
     #                       debug dumps, loss_utils.py:201-221)
+    # NaN root-cause probe (GSJAX_NAN_PROBE=1): per-param non-finite counts
+    # computed inside the jitted step; on the FIRST step where an alive
+    # gaussian goes non-finite, the PRE-step state + view ids are dumped so
+    # scripts/nan_hunt.py can replay that exact step under jax_debug_nans.
+    nan_probe: bool = os.environ.get("GSJAX_NAN_PROBE", "") not in ("", "0")
+    _nan_dumps: int = 0
+    # rolling mv_queries watermarks since the last capacity change; feeds
+    # the shrink policy (mv_shrink_target)
+    _mv_wm: list = dataclasses.field(default_factory=list)
 
     @staticmethod
     def create(scene: SceneInfo, opt, model_path, sh_degree=3, sg_degree=0,
@@ -205,25 +232,33 @@ class Trainer:
         if hist is None:
             return dict(row_bounds=equal_band_bounds(tiles_y, n),
                         rows_per_max=rpm)
-        # best of: single contiguous equal-pair bands vs mirrored dual bands
-        # with hill-climbed boundaries ([2n+1] bounds; device d owns bands d
-        # and 2n-1-d, dense centre paired with sparse edge). Dual cuts the
+        # best of: single contiguous equal-pair bands vs dual bands ([2n+1]
+        # bounds, two row intervals per device). Dual cuts the
         # row-quantisation share_max (SCALING_MODEL_r04: 0.191 equal-rows ->
-        # 0.141 at 8 devices); per-band cap rpm//2 bounds each device's
-        # total rows at the same static rows_per_max.
-        bounds = balance_band_bounds(hist, n, rpm)
+        # 0.141 at 8 devices); round 5 adds FREE band matching
+        # (paired_balance_bounds) — the mirrored (d, 2n-1-d) pairing couples
+        # the two centre bands on centre-heavy scenes (share_max 0.076 vs
+        # ideal 0.0625 at 16 devices).
+        bounds, pair = balance_band_bounds(hist, n, rpm), None
+        h = np.asarray(hist, np.float64)
+        cum = np.concatenate([[0.0], np.cumsum(h)])
+        best = max(cum[bounds[d + 1]] - cum[bounds[d]] for d in range(n))
         if self.dual_bands and tiles_y >= 2 * n:
-            from gsjax.parallel import dual_balance_bounds
+            from gsjax.parallel import (dual_balance_bounds,
+                                        paired_balance_bounds)
             b2 = dual_balance_bounds(hist, n, max(rpm // 2, 1))
-            h = np.asarray(hist, np.float64)
-            cum = np.concatenate([[0.0], np.cumsum(h)])
-            s1 = max(cum[bounds[d + 1]] - cum[bounds[d]] for d in range(n))
             s2 = max(cum[b2[d + 1]] - cum[b2[d]] +
                      cum[b2[2 * n - d]] - cum[b2[2 * n - 1 - d]]
                      for d in range(n))
-            if s2 < s1:
-                bounds = b2
-        return dict(row_bounds=bounds, rows_per_max=rpm)
+            if s2 < best:
+                bounds, pair, best = b2, None, s2
+            b3, p3 = paired_balance_bounds(hist, n, rpm)
+            s3 = max(cum[b3[p3[d, 0] + 1]] - cum[b3[p3[d, 0]]] +
+                     cum[b3[p3[d, 1] + 1]] - cum[b3[p3[d, 1]]]
+                     for d in range(n))
+            if s3 < best:
+                bounds, pair, best = b3, p3, s3
+        return dict(row_bounds=bounds, rows_per_max=rpm, band_pair=pair)
 
     def note_row_pairs(self, metrics, uid=None):
         """Record this step's per-row pair histogram: exact per-view (keyed
@@ -293,7 +328,20 @@ class Trainer:
             qmax = max(v.width * v.height for v in self.scene.train_views)
             self.mv_query_capacity = min(next_pow2(int(nq * 1.3)),
                                          next_pow2(qmax))
+            self._mv_wm.clear()
             recompiled = True
+        elif self.mv_query_capacity and nq > 0:
+            # shrink the bucket once 30 consecutive views settle far below
+            # it (the half-frame auto-init overshoots by >20x on real
+            # scenes; sample_depth cost scales with the static row count)
+            self._mv_wm.append(nq)
+            if len(self._mv_wm) >= 30:
+                tgt = mv_shrink_target(max(self._mv_wm),
+                                       self.mv_query_capacity)
+                self._mv_wm.clear()
+                if tgt is not None:
+                    self.mv_query_capacity = tgt
+                    recompiled = True
         n_alive = int(jnp.sum(self.aux.alive))
         if n_alive > 0.9 * self.params.capacity:
             self.params, self.aux, self.adam = gm.grow_capacity(
@@ -338,7 +386,10 @@ class Trainer:
             appearance=self.app.kind,
             # sharded steps keep the dense band formulation for now (bands
             # already shrink the per-device query count ~1/N)
-            mv_query_capacity=None if self.sharded else mv_cap)
+            mv_query_capacity=None if self.sharded else mv_cap,
+            nan_stats=self.nan_probe)
+        if self.nan_probe:
+            prev_state = (self.params, self.aux, self.adam)
 
         emb = self.app.table[view.uid] if self.app.table is not None else None
         if self.random_background:
@@ -381,7 +432,14 @@ class Trainer:
                 nxt = random.choice(self.scene.train_views)
                 random.setstate(st)
                 self.gt_for(nxt)
-            if not self.overflowed(metrics):   # first blocking read
+            # ONE bulk device->host fetch: the bookkeeping below reads many
+            # scalars (overflow watermarks, loss, mv/nan counters, row
+            # histogram) and each separate int()/float() is a full relay
+            # round-trip — the blobs r5 run measured 1075 ms/iter of host
+            # glue against a 70 ms device step, dominated by exactly these
+            # reads. device_get also serves as the step's blocking fence.
+            metrics = jax.device_get(metrics)
+            if not self.overflowed(metrics):
                 break
             self.monitor_capacity(metrics)   # grows the overflowed bucket
             cfg = self.raster_cfg(require_depth=reg_on)
@@ -393,6 +451,35 @@ class Trainer:
                   f"{self.pair_capacity}); trained truncated", flush=True)
         self.params, self.aux, self.adam = p2, aux2, adam2
         self.note_row_pairs(metrics, view.uid)
+
+        if self.nan_probe and "nonfinite" in metrics:
+            nf = {f"{k}.{f}": int(v)
+                  for k, d in metrics["nonfinite"].items()
+                  for f, v in d.items()}
+            if any(nf.values()) and self._nan_dumps < 3:
+                self._nan_dumps += 1
+                path = os.path.join(self.model_path,
+                                    f"nan_probe_it{it}.npz")
+                flat = {}
+                for name, tree in (("params", prev_state[0]),
+                                   ("aux", prev_state[1]),
+                                   ("adam_mu", prev_state[2].mu),
+                                   ("adam_nu", prev_state[2].nu)):
+                    for fld in dataclasses.fields(type(tree)):
+                        flat[f"{name}.{fld.name}"] = np.asarray(
+                            getattr(tree, fld.name))
+                flat["adam.count"] = np.asarray(prev_state[2].count)
+                flat["view_uid"] = np.asarray(view.uid)
+                flat["near_uid"] = np.asarray(
+                    -1 if near is None else near.uid)
+                flat["iteration"] = np.asarray(it)
+                flat["active_sh"] = np.asarray(self.active_sh)
+                flat["active_sg"] = np.asarray(self.active_sg)
+                np.savez_compressed(path, **flat)
+                print(f"NAN_PROBE: iteration {it} produced non-finite "
+                      f"values {sorted(k for k, v in nf.items() if v)} "
+                      f"(counts {nf}); pre-step state dumped to {path}",
+                      flush=True)
 
         if self.debug and reg_on and it % 200 == 0:
             self._dump_debug_mosaic(view, it)
@@ -457,23 +544,30 @@ class Trainer:
 
     # --- eval / io -----------------------------------------------------------
 
-    def render_view(self, view, require_depth=True):
-        return self.render_camera(view.camera, require_depth=require_depth)
+    def render_view(self, view, require_depth=True, min_opacity=0.0):
+        return self.render_camera(view.camera, require_depth=require_depth,
+                                  min_opacity=min_opacity)
 
-    def render_camera(self, camera, scaling_modifier=1.0, require_depth=True):
+    def render_camera(self, camera, scaling_modifier=1.0, require_depth=True,
+                      min_opacity=0.0):
         """Render an arbitrary camera (viewer path). scaling_modifier
         multiplies post-activation scales dynamically (no recompile per
-        slider value, unlike the static cfg.scale_modifier)."""
+        slider value, unlike the static cfg.scale_modifier). min_opacity > 0
+        drops low-filtered-opacity gaussians (floater suppression for
+        mesh-extraction depth renders)."""
         cfg = self.raster_cfg(require_depth)
         scales, opac = gm.scaling_n_opacity_with_3d_filter(self.params,
                                                            self.aux.filter_3d)
         if scaling_modifier != 1.0:
             scales = scales * jnp.float32(scaling_modifier)
+        alive = self.aux.alive
+        if min_opacity > 0.0:
+            alive = alive & (opac[:, 0] >= min_opacity)
         return render(self.params.xyz, scales, self.params.rotation, opac,
                       gm.get_features(self.params), camera, cfg, self.bg(),
                       sg_axis=gm.get_sg_axis(self.params),
                       sg_sharpness=gm.get_sg_sharpness(self.params),
-                      sg_color=self.params.sg_color, alive=self.aux.alive)
+                      sg_color=self.params.sg_color, alive=alive)
 
     def _dump_debug_mosaic(self, view, it):
         """2x2 gt | render / normal | depth mosaic every 200 reg iterations

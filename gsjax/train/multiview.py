@@ -30,6 +30,8 @@ watermark and bumped by the Trainer like the pair buffers.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -114,8 +116,13 @@ def _geo_terms_compact(pts_world, median_depth, means3d, scales, rotations,
         [jnp.where(slot_live, barrier(pw[:, i][sel]), 0.0) for i in range(3)],
         axis=-1)
 
+    # compacted queries are SPARSE per tile (tens per 32x32 tile on real
+    # scenes), so the point kernel's default 1024-lane rounds run ~90% lane
+    # padding; narrower rounds trade more grid steps for less VPU waste
+    # (A/B knob GSJAX_MV_PROUND; see AB_r05.json)
+    p_round = int(os.environ.get("GSJAX_MV_PROUND", "256") or 256)
     res = sample_depth(pts_c, means3d, scales, rotations, opacities,
-                       near_cam, cfg, alive)
+                       near_cam, cfg, alive, point_batch=p_round)
     pts_near = res["point_cam"]                                   # [kcap,3]
     inside = res["inside"] & slot_live
 

@@ -38,6 +38,10 @@ class LossConfig:
     # pixels is loss-exact; the Trainer bumps this like the pair buffers on
     # the metrics["mv_queries"] watermark (gsjax/train/multiview.py).
     mv_query_capacity: int | None = None
+    # NaN root-cause probe (GSJAX_NAN_PROBE): per-param non-finite counts for
+    # grads and post-update params ride in metrics["nonfinite"] so the
+    # Trainer can catch the FIRST poisoned step and dump its pre-step state.
+    nan_stats: bool = False
 
 
 @partial(jax.jit, static_argnames=("cfg", "loss_cfg"))
@@ -141,4 +145,17 @@ def train_step(params: gm.GaussianParams,
         aux, max_radii=jnp.maximum(aux.max_radii,
                                    jnp.where(side["visibility"], side["radii"], 0)))
     params, adam = gm.adam_update(params, gp, adam, lrs)
+    if loss_cfg.nan_stats:
+        # number of ALIVE gaussians with any non-finite element, per field,
+        # for (masked) grads and post-update params. Cheap reductions; the
+        # dict rides in metrics so the Trainer reads it on its existing
+        # blocking fence.
+        def counts(tree):
+            out = {}
+            for f in dataclasses.fields(gm.GaussianParams):
+                v = getattr(tree, f.name)
+                bad = ~jnp.isfinite(v).reshape(v.shape[0], -1).all(axis=1)
+                out[f.name] = jnp.sum(bad & aux.alive)
+            return out
+        metrics["nonfinite"] = {"grad": counts(gp), "param": counts(params)}
     return params, aux, adam, metrics

@@ -84,11 +84,16 @@ def main():
                     help="per-device ICI bandwidth (v4 ~ 3x2x100GB/s links; "
                          "90 GB/s effective per collective is conservative)")
     ap.add_argument("--capacity", type=int, default=100_000)
+    ap.add_argument("--t_repl_ms", type=float, default=2.0,
+                    help="measured replicated residue (Adam update + "
+                         "densify stats) — scripts/measure_trepl.py on the "
+                         "real chip; the 2.0 default is the round-3 guess")
     ap.add_argument("--out", default="SCALING_MODEL.json")
     args = ap.parse_args()
 
     from gsjax.parallel.shard import (balance_band_bounds,
-                                      dual_balance_bounds)
+                                      dual_balance_bounds,
+                                      paired_balance_bounds)
 
     hist, tiles_x, tiles_y, cfg = bench_scene_row_hist()
     total = float(hist.sum())
@@ -96,7 +101,8 @@ def main():
     with open(args.profile) as f:
         prof = json.load(f)["timings_ms"]
     t_prep = prof["preprocess"] + prof.get("preprocess VJP", 0.0)
-    t_repl = 2.0        # Adam update + densify stats (elementwise, ~24 MB)
+    t_repl = args.t_repl_ms   # Adam update + densify stats (measured via
+    #                           scripts/measure_trepl.py; r3-r4 guessed 2.0)
     t_full = prof["FULL fwd+bwd step"]
     # everything that scales with the band share: all but prep + repl
     t_band = t_full - t_prep - t_repl
@@ -130,6 +136,15 @@ def main():
                      for d in range(n_dev)], np.float64)
                 if shares2.max() < shares.max():
                     shares = shares2
+                # free heavy-with-light band matching (round 5): the
+                # mirrored pairing couples the two CENTRE bands
+                b3, p3 = paired_balance_bounds(hist, n_dev, rpm)
+                shares3 = np.array(
+                    [hist[b3[p3[d, 0]]:b3[p3[d, 0] + 1]].sum() +
+                     hist[b3[p3[d, 1]]:b3[p3[d, 1] + 1]].sum()
+                     for d in range(n_dev)], np.float64)
+                if shares3.max() < shares.max():
+                    shares = shares3
             share_max = float(shares.max()) / total
             be = np.minimum(np.arange(n_dev + 1) * (-(-tiles_y // n_dev)),
                             tiles_y)
@@ -158,6 +173,7 @@ def main():
         "inputs": {
             "profile": args.profile,
             "t_prep_ms": t_prep,
+            "t_repl_ms": t_repl,
             "t_band_ms": round(t_band, 2),
             "ici_gbps": args.ici_gbps,
             "frame_gather_bytes": frame_bytes,

@@ -362,6 +362,75 @@ def test_sharded_step_dual_bands_parity():
                                    rtol=1e-3, atol=2e-5)
 
 
+def test_sharded_step_paired_bands_parity():
+    """FREE band matching ([2n+1] bounds + band_pair [n,2], round 5): a
+    non-mirrored heavy-with-light assignment yields the same step as
+    single-device — the matching only moves work between devices."""
+    cam, cfg, bg, params, aux, adam, gt, lrs = _setup(
+        width=64, height=256, require_depth=True)
+    lc = LossConfig(reg_on=True)
+
+    p1, aux1, adam1, m1 = train_step(params, aux, adam, cam, gt, bg, lrs,
+                                     cfg, lc)
+    mesh = make_mesh()
+    n = mesh.devices.size
+    assert n == 8
+    # tiles_y = 8: 16 bands of width 0/1 with scattered empties; a
+    # deliberately non-mirrored matching (each pair (a, b) with a < b)
+    bounds = np.array([0, 1, 1, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 8],
+                      np.int32)
+    pair = np.array([[0, 3], [1, 15], [2, 8], [4, 11],
+                     [5, 9], [6, 14], [7, 12], [10, 13]], np.int32)
+    assert sorted(pair.reshape(-1).tolist()) == list(range(16))
+    p2, aux2, adam2, m2 = train_step_sharded(
+        params, aux, adam, cam, gt, bg, lrs, cfg, lc, mesh,
+        row_bounds=bounds, rows_per_max=2, band_pair=pair)
+    for k in ("loss", "l1", "ssim", "dn_loss"):
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                   rtol=2e-4, atol=2e-5), k
+    assert int(m2["num_pairs"]) == int(m1["num_pairs"])
+    assert int(np.asarray(m2["row_pairs"]).sum()) == int(m1["num_live_pairs"])
+    for l1, l2 in zip(jax.tree_util.tree_leaves(p1),
+                      jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   rtol=1e-3, atol=2e-5)
+
+
+def test_paired_balance_bounds_properties():
+    """paired_balance_bounds: coverage, pair disjointness/order, the
+    rows_per_max device cap, and a matching win over the mirrored pairing
+    on a centre-heavy histogram (where mirrored couples the two heaviest
+    central bands)."""
+    from gsjax.parallel import dual_balance_bounds, paired_balance_bounds
+
+    rng = np.random.default_rng(1)
+    for tiles_y, n in ((34, 16), (34, 8), (64, 8), (17, 8)):
+        rpm = min(tiles_y, -(-tiles_y // n) * 2)
+        for hist in (rng.integers(0, 1000, tiles_y).astype(np.float64),
+                     1000.0 * np.exp(-0.5 * (
+                         (np.arange(tiles_y) - tiles_y / 2) / 5.0) ** 2)):
+            b, pr = paired_balance_bounds(hist, n, rpm)
+            assert b[0] == 0 and b[-1] == tiles_y
+            assert np.all(np.diff(b) >= 0)
+            assert sorted(pr.reshape(-1).tolist()) == list(range(2 * n))
+            assert np.all(pr[:, 0] < pr[:, 1])
+            rows = b[1:] - b[:-1]
+            assert np.all(rows[pr[:, 0]] + rows[pr[:, 1]] <= rpm)
+
+    # centre-heavy: free matching must beat the mirrored pairing
+    tiles_y, n = 34, 16
+    rpm = min(tiles_y, -(-tiles_y // n) * 2)
+    hist = 1000.0 * np.exp(-0.5 * ((np.arange(tiles_y) - 17) / 8.0) ** 2)
+    cum = np.concatenate([[0.0], np.cumsum(hist)])
+    b2 = dual_balance_bounds(hist, n, max(rpm // 2, 1))
+    s2 = max(cum[b2[d + 1]] - cum[b2[d]] +
+             cum[b2[2 * n - d]] - cum[b2[2 * n - 1 - d]] for d in range(n))
+    b3, p3 = paired_balance_bounds(hist, n, rpm)
+    s3 = max(cum[b3[p3[d, 0] + 1]] - cum[b3[p3[d, 0]]] +
+             cum[b3[p3[d, 1] + 1]] - cum[b3[p3[d, 1]]] for d in range(n))
+    assert s3 < s2
+
+
 def test_trainer_band_kwargs_unit():
     """Host-side band bookkeeping: equal bounds before any histogram,
     per-view exact histograms, scene-EMA fallback, kill-switch."""
