@@ -84,6 +84,10 @@ def main():
                          "filtered opacity below this from TSDF depth "
                          "rendering and tetra point generation (floater "
                          "suppression)")
+    ap.add_argument("--presize_pairs", type=int, default=0,
+                    help="pre-size the pair buckets (pair capacity; live "
+                         "capacity = half) so capacity-bump recompiles "
+                         "(minutes each on TPU) never hit mid-run")
     args = ap.parse_args()
     n_cluster = args.cluster_to_keep or {"sphere": 1, "blobs": 3}[args.scene]
 
@@ -153,6 +157,12 @@ def main():
     trainer = Trainer.create(scene, o, model_path, sh_degree=args.sh_degree,
                              sg_degree=args.sg_degree,
                              appearance=args.appearance)
+    if args.presize_pairs:
+        from gsjax.train.loop import next_pow2
+        trainer.pair_capacity = max(trainer.pair_capacity,
+                                    next_pow2(args.presize_pairs))
+        trainer.live_capacity = max(trainer.live_capacity,
+                                    trainer.pair_capacity // 2)
 
     # Periodic checkpoint + resume so the long (hours-on-CPU) run survives
     # process restarts. RNG state rides in the checkpoint's `extra` dict
@@ -329,21 +339,26 @@ def main():
         "step_ms_device": (round(step_ms_device, 1)
                            if step_ms_device is not None else None),
     }
-    # Pass thresholds. Regression-tight on the r3-calibrated sphere scene
-    # (r3: 34.72 dB / chamfer 0.021, floored near the 0.02 TSDF voxel).
-    # Blobs calibrated by its first full TPU run (r4: 22.2 dB / 0.285 TSDF,
-    # 0.273 tetra at 3.6k iters, 86k gaussians) — an intentionally
-    # UNSATURATED hard scene: the gate is a regression floor, the headroom
-    # is the next round's target (d2s ~0.52 = free-space floaters inside
-    # the crop radius; candidate fix: visibility-based floater culling
-    # before meshing). Ablation runs (--no_reg) report metrics but only
-    # gate PSNR (their chamfer is the comparison POINT, not a target).
-    thr = {"sphere": (34.0, 0.025), "blobs": (20.0, 0.35)}[args.scene]
+    # Pass thresholds — regression-tight at just-above-achieved (r4 verdict
+    # item 7: a gate with 20% headroom would pass a 20% regression).
+    #   sphere: r3/r4-calibrated (r4: 36.75 dB / chamfer 0.0184 at 3k iters,
+    #     floored near the 0.02 TSDF voxel).
+    #   blobs: r5 run (25.0 dB / 0.328 TSDF / 0.185 tetra at 2.4k iters,
+    #     cluster_to_keep=3). The TSDF bar stays loose on purpose: ckpt
+    #     analysis (AB_r05.json) showed the d2s junk is OPAQUE free-space
+    #     geometry the short schedule never prunes — extraction-time levers
+    #     (opacity cull, min-weight) are measured-falsified; the tetra
+    #     route's alpha-cull pipeline is the geometry bar that binds.
+    # Ablation runs (--no_reg) report metrics but only gate PSNR (their
+    # chamfer is the comparison POINT, not a target).
+    thr = {"sphere": (34.0, 0.025, 0.0625),
+           "blobs": (23.0, 0.34, 0.22)}[args.scene]
     result["thresholds"] = {"test_psnr_db_min": thr[0],
-                            "chamfer_max": thr[1]}
+                            "chamfer_max": thr[1],
+                            "chamfer_tetra_max": thr[2]}
     ch_ok = True if args.no_reg else (
         chamfer <= thr[1] and
-        (chamfer_tetra is None or chamfer_tetra <= 2.5 * thr[1]))
+        (chamfer_tetra is None or chamfer_tetra <= thr[2]))
     result["pass"] = bool(test_psnr >= thr[0] and ch_ok)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

@@ -10,10 +10,13 @@ the bench capacity and prints a JSON line for scaling_model --t_repl_ms.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
