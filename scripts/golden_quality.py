@@ -88,6 +88,14 @@ def main():
                     help="pre-size the pair buckets (pair capacity; live "
                          "capacity = half) so capacity-bump recompiles "
                          "(minutes each on TPU) never hit mid-run")
+    ap.add_argument("--schedule_iters", type=int, default=0,
+                    help="pin the schedule horizon (lr decay, reg start, "
+                         "densify window) to this iteration count while "
+                         "training to --iterations. Use when EXTENDING a "
+                         "checkpointed run: without it a larger "
+                         "--iterations rescales the whole schedule "
+                         "mid-trajectory (measured to HURT: the r5 sphere "
+                         "+700-iter extension dropped PSNR 32.9 -> 29.9)")
     args = ap.parse_args()
     n_cluster = args.cluster_to_keep or {"sphere": 1, "blobs": 3}[args.scene]
 
@@ -130,14 +138,15 @@ def main():
     build_nearest_view_graph(scene.train_views, 30, 0.01, 1.5, 8)
 
     o = Namespace(**OptimizationParams._defaults())
+    sched = args.schedule_iters or args.iterations
     o.iterations = args.iterations
     o.densify_from_iter = 300
-    o.densify_until_iter = int(args.iterations * 0.75)
+    o.densify_until_iter = int(sched * 0.75)
     o.densification_interval = 100
     o.densify_grad_threshold = args.densify_grad_threshold
     o.opacity_reset_interval = args.reset_interval or 100_000
-    o.regularization_from_iter = args.iterations // 2
-    o.position_lr_max_steps = args.iterations
+    o.regularization_from_iter = sched // 2
+    o.position_lr_max_steps = sched
     if args.no_reg:
         o.lambda_depth_normal = 0.0
         o.lambda_multi_view_geo = 0.0
