@@ -85,7 +85,14 @@ def main():
     compact = os.environ.get("GSJAX_MV_COMPACT", "1") not in ("0", "")
     from gsjax.train.loop import next_pow2
     mv_cap = next_pow2((width * height) // 2) if compact else None
-    lc = LossConfig(reg_on=True, mv_on=True, mv_query_capacity=mv_cap)
+    # block-compacted NCC (Trainer auto-init: half the frame's 16x16
+    # blocks), settled after warmup like mv_cap
+    nb_total = (-(-height // 16)) * (-(-width // 16))
+    blk_compact = compact and \
+        os.environ.get("GSJAX_NCC_COMPACT", "0") not in ("0", "")
+    blk_cap = next_pow2(nb_total // 2) if blk_compact else None
+    lc = LossConfig(reg_on=True, mv_on=True, mv_query_capacity=mv_cap,
+                    ncc_block_capacity=blk_cap)
     gt = jnp.asarray(rng.uniform(0, 1, (height, width, 3)).astype(np.float32))
     gray = jnp.asarray(rng.uniform(0, 1, (height, width)).astype(np.float32))
     bg = jnp.zeros(3)
@@ -115,10 +122,22 @@ def main():
         # the bench scene is static, so one watermark IS the 30-step max
         from gsjax.train.loop import mv_shrink_target
         new_cap = mv_shrink_target(int(m["mv_queries"]), mv_cap)
-    if new_cap is not None:
-        mv_cap = new_cap
-        print(f"mv_query_capacity settle -> {mv_cap}", file=sys.stderr)
-        lc = LossConfig(reg_on=True, mv_on=True, mv_query_capacity=mv_cap)
+    new_blk = None
+    if blk_compact:
+        from gsjax.train.loop import mv_shrink_target
+        nbw = int(m.get("mv_blocks", 0))
+        print(f"mv_blocks={nbw}/{blk_cap}", file=sys.stderr)
+        if nbw > 0.9 * blk_cap:
+            new_blk = min(next_pow2(int(nbw * 1.3)), next_pow2(nb_total))
+        else:
+            new_blk = mv_shrink_target(nbw, blk_cap, floor=256)
+    if new_cap is not None or new_blk is not None:
+        mv_cap = new_cap if new_cap is not None else mv_cap
+        blk_cap = new_blk if new_blk is not None else blk_cap
+        print(f"capacity settle -> mv {mv_cap} blocks {blk_cap}",
+              file=sys.stderr)
+        lc = LossConfig(reg_on=True, mv_on=True, mv_query_capacity=mv_cap,
+                        ncc_block_capacity=blk_cap)
 
         def step(p, a, ad, gt, bg, gray):     # noqa: F811 (rebind on bump)
             return train_step(p, a, ad, cam, gt, bg, lrs, cfg, lc,

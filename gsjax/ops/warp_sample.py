@@ -224,3 +224,46 @@ def _ws_bwd(interpret, res, cots):
 
 
 warp_sample.defvjp(_ws_fwd, _ws_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def warp_sample_blocks(img: jax.Array, un: jax.Array, vn: jax.Array,
+                       interpret: bool = False):
+    """Pre-blocked variant of `warp_sample` for COMPACTED block lists.
+
+    un/vn: [B, K, P] tap positions of B (selected) 16x16-pixel blocks —
+    the caller owns block selection/ordering (NCC block compaction: only
+    blocks containing loss-masked pixels are passed, so kernel cost scales
+    with occupancy instead of the frame). Same per-block math as
+    warp_sample, so a block's (val, ok) is bit-identical to the dense
+    call's for the same pixel content. Returns (val [B,K,P], ok [B,P])."""
+    val, _, _, ok = _warp_sample_blocks_all(img, un, vn, interpret)
+    return val, ok
+
+
+def _warp_sample_blocks_all(img, un, vn, interpret):
+    b, k, _p = un.shape
+    h, w = img.shape
+    # pad image for the DMA window bounds, like _warp_sample_all: window
+    # starts are clipped to [0, dim - window], so dims must cover RV/RU
+    h_pad = max(-(-h // 16) * 16, RV)
+    w_pad = max(-(-w // 128) * 128, RU)
+    img_p = jnp.pad(img, ((0, h_pad - h), (0, w_pad - w))).astype(jnp.bfloat16)
+    uv = jnp.concatenate([un, vn], axis=1)               # [B, 2K, P]
+    out = _sample_call(img_p, uv, b, k, h_pad, w_pad, interpret)
+    return out[:, :k], out[:, k:2 * k], out[:, 2 * k:3 * k], \
+        out[:, 3 * k] >= 0.5
+
+
+def _wsb_fwd(img, un, vn, interpret):
+    val, gx, gy, ok = _warp_sample_blocks_all(img, un, vn, interpret)
+    return (val, ok), (gx, gy)
+
+
+def _wsb_bwd(interpret, res, cots):
+    gx, gy = res
+    d_val, _ = cots
+    return (None, d_val * gx, d_val * gy)
+
+
+warp_sample_blocks.defvjp(_wsb_fwd, _wsb_bwd)

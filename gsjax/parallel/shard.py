@@ -716,7 +716,8 @@ def _train_step_sharded(params: gm.GaussianParams, aux: gm.GaussianAux,
                 # this device's horizontal band (pad rows -> depth 0 -> masked)
                 dep_b = _row_slice(depth, r0, bh, n_dev * bh)
                 nrm_mv = _row_slice(nrm, r0, bh, n_dev * bh)
-                ncc_s, ncc_c, geo_s, geo_c, _win_rej, _mv_q = patchmatch_terms(
+                (ncc_s, ncc_c, geo_s, geo_c, _win_rej, _mv_q,
+                 _mv_b) = patchmatch_terms(
                     dep_b, nrm_mv, p_.xyz, scales, p_.rotation, opac,
                     aux_.alive, camera, near_cam, gr, gn, cfg,
                     loss_cfg.pixel_noise_th, loss_cfg.patch_size,

@@ -40,7 +40,8 @@ def next_pow2(n: int) -> int:
 MV_CAP_FLOOR = 1 << 14
 
 
-def mv_shrink_target(watermark_max: int, capacity: int) -> int | None:
+def mv_shrink_target(watermark_max: int, capacity: int,
+                     floor: int = MV_CAP_FLOOR) -> int | None:
     """Shrunk mv_query bucket for a settled watermark, or None to keep.
 
     sample_depth's cost scales with its static row count, and real scenes
@@ -51,7 +52,7 @@ def mv_shrink_target(watermark_max: int, capacity: int) -> int | None:
     headroom matches the grow path; oscillation is bounded by the caller's
     30-step window, the halving requirement, and the loss-free overflow
     retry (a shrink can never train a truncated step)."""
-    tgt = max(next_pow2(int(watermark_max * 1.3) + 1), MV_CAP_FLOOR)
+    tgt = max(next_pow2(int(watermark_max * 1.3) + 1), floor)
     return tgt if tgt <= capacity // 2 else None
 
 
@@ -79,6 +80,11 @@ class Trainer:
     # is loss-exact, see gsjax/train/multiview.py). GSJAX_MV_COMPACT=0
     # reverts to one query per pixel (dense).
     mv_query_capacity: int = 0
+    # static 16x16-block budget for the block-compacted NCC
+    # (GSJAX_NCC_COMPACT=1; 0 = auto-init to half the frame's blocks).
+    # Watermark-bumped/shrunk like mv_query_capacity via
+    # metrics["mv_blocks"].
+    ncc_block_capacity: int = 0
     iteration: int = 0
     key: jax.Array = None
     # multi-chip: tiles sharded over `mesh` (None = single-device step);
@@ -112,9 +118,10 @@ class Trainer:
     # scripts/nan_hunt.py can replay that exact step under jax_debug_nans.
     nan_probe: bool = os.environ.get("GSJAX_NAN_PROBE", "") not in ("", "0")
     _nan_dumps: int = 0
-    # rolling mv_queries watermarks since the last capacity change; feeds
-    # the shrink policy (mv_shrink_target)
+    # rolling mv_queries / mv_blocks watermarks since the last capacity
+    # change; feed the shrink policy (mv_shrink_target)
     _mv_wm: list = dataclasses.field(default_factory=list)
+    _blk_wm: list = dataclasses.field(default_factory=list)
 
     @staticmethod
     def create(scene: SceneInfo, opt, model_path, sh_degree=3, sg_degree=0,
@@ -285,6 +292,9 @@ class Trainer:
         if self.mv_query_capacity and \
                 int(metrics.get("mv_queries", 0)) > self.mv_query_capacity:
             return True   # compacted query list truncated valid pixels
+        if self.ncc_block_capacity and \
+                int(metrics.get("mv_blocks", 0)) > self.ncc_block_capacity:
+            return True   # compacted NCC block list truncated masked blocks
         if self.sharded:
             return int(metrics["dev_num_pairs"]) > self.dev_pair_capacity
         return int(metrics["num_pairs"]) > self.pair_capacity
@@ -342,6 +352,20 @@ class Trainer:
                 if tgt is not None:
                     self.mv_query_capacity = tgt
                     recompiled = True
+        nb = int(metrics.get("mv_blocks", 0))
+        if self.ncc_block_capacity and nb > 0.9 * self.ncc_block_capacity:
+            self.ncc_block_capacity = next_pow2(int(nb * 1.3))
+            self._blk_wm.clear()
+            recompiled = True
+        elif self.ncc_block_capacity and nb > 0:
+            self._blk_wm.append(nb)
+            if len(self._blk_wm) >= 30:
+                tgt = mv_shrink_target(max(self._blk_wm),
+                                       self.ncc_block_capacity, floor=256)
+                self._blk_wm.clear()
+                if tgt is not None:
+                    self.ncc_block_capacity = tgt
+                    recompiled = True
         n_alive = int(jnp.sum(self.aux.alive))
         if n_alive > 0.9 * self.params.capacity:
             self.params, self.aux, self.adam = gm.grow_capacity(
@@ -374,6 +398,13 @@ class Trainer:
                 self.mv_query_capacity = next_pow2(
                     (view.width * view.height) // 2)
             mv_cap = self.mv_query_capacity
+        blk_cap = None
+        if mv_cap is not None and \
+                os.environ.get("GSJAX_NCC_COMPACT", "0") not in ("0", ""):
+            if self.ncc_block_capacity == 0:
+                nb = -(-view.height // 16) * (-(-view.width // 16))
+                self.ncc_block_capacity = next_pow2(nb // 2)
+            blk_cap = self.ncc_block_capacity
         cfg = self.raster_cfg(require_depth=reg_on)
         lcfg = LossConfig(
             lambda_dssim=o.lambda_dssim,
@@ -387,6 +418,7 @@ class Trainer:
             # sharded steps keep the dense band formulation for now (bands
             # already shrink the per-device query count ~1/N)
             mv_query_capacity=None if self.sharded else mv_cap,
+            ncc_block_capacity=None if self.sharded else blk_cap,
             nan_stats=self.nan_probe)
         if self.nan_probe:
             prev_state = (self.params, self.aux, self.adam)

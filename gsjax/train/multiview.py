@@ -162,17 +162,23 @@ def patchmatch_terms(median_depth: jax.Array,
                      pixel_noise_th: float = 1.0,
                      patch_size: int = 3,
                      row_offset: jax.Array | int = 0,
-                     query_capacity: int | None = None):
+                     query_capacity: int | None = None,
+                     ncc_block_capacity: int | None = None):
     """Band-level PGSR terms.
 
     median_depth/normal: [Hs,W(,3)] rows `row_offset..row_offset+Hs` of the
     reference frame; gray_r/gray_n: FULL [H,W] luma images.
     query_capacity: static sample_depth query-row budget (None = dense, one
     query per pixel). See the module docstring.
-    Returns (ncc_sum, ncc_cnt, geo_sum, geo_cnt, win_rej, n_queries) scalars
-    (masked sums; win_rej counts pixels whose NCC was dropped ONLY by the
-    Pallas sampler's block window — observability for extreme warps, ADVICE
-    r4; n_queries is the mv_queries capacity watermark)."""
+    ncc_block_capacity: static budget of 16x16 pixel blocks for the
+    block-compacted NCC (`warp_patch_ncc_blocks`): the homography/tap/
+    statistic math and the Pallas sampler run only over blocks containing a
+    d_mask pixel instead of the whole frame. None = dense NCC.
+    Returns (ncc_sum, ncc_cnt, geo_sum, geo_cnt, win_rej, n_queries,
+    n_blocks) scalars (masked sums; win_rej counts pixels whose NCC was
+    dropped ONLY by the Pallas sampler's block window — observability for
+    extreme warps, ADVICE r4; n_queries/n_blocks are the capacity
+    watermarks)."""
     hs, w = median_depth.shape
     fx, fy, cx, cy = ref_cam.fx, ref_cam.fy, ref_cam.cx, ref_cam.cy
 
@@ -197,12 +203,23 @@ def patchmatch_terms(median_depth: jax.Array,
         geo_sum, geo_cnt, d_mask, weights, n_queries = \
             _geo_terms_compact(*geo_args, query_capacity)
 
-    # 4. NCC over the masked band pixels (dense, loss_utils.py:227-267)
+    # 4. NCC over the masked band pixels (loss_utils.py:227-267)
     # double-where: norm() has NaN gradient at 0-normals (empty pixels)
     nrm2 = jnp.sum(normal * normal, axis=-1, keepdims=True)
     good = nrm2 > 1e-20
     nrm = jnp.where(good, normal * jax.lax.rsqrt(jnp.where(good, nrm2, 1.0)), 0.0)
     rel_rn = near_cam.world_view @ _invert_rigid(ref_cam.world_view)  # ref->near
+    if ncc_block_capacity is not None:
+        from gsjax.ops.ncc import warp_patch_ncc_blocks
+        ncc_sum, ncc_cnt, win_rej, n_blocks = warp_patch_ncc_blocks(
+            median_depth, nrm, gray_r, gray_n,
+            rel_rn[:3, :3], rel_rn[:3, 3],
+            (fx, fy, cx, cy),
+            (near_cam.fx, near_cam.fy, near_cam.cx, near_cam.cy),
+            d_mask, weights, ncc_block_capacity,
+            radius=patch_size, row_offset=row_offset)
+        return (ncc_sum, ncc_cnt, geo_sum, geo_cnt, win_rej, n_queries,
+                n_blocks)
     cc, cc_valid, win_rej = warp_patch_ncc(
         median_depth, nrm, gray_r, gray_n,
         rel_rn[:3, :3], rel_rn[:3, 3],
@@ -213,7 +230,8 @@ def patchmatch_terms(median_depth: jax.Array,
     ncc_mask = jax.lax.stop_gradient((ncc < 0.9) & cc_valid & d_mask)
     ncc_cnt = jnp.sum(ncc_mask)
     ncc_sum = jnp.sum(jnp.where(ncc_mask, ncc * weights, 0.0))
-    return ncc_sum, ncc_cnt, geo_sum, geo_cnt, win_rej, n_queries
+    return (ncc_sum, ncc_cnt, geo_sum, geo_cnt, win_rej, n_queries,
+            jnp.zeros((), jnp.int32))
 
 
 def patchmatch_losses(median_depth: jax.Array,
@@ -224,19 +242,22 @@ def patchmatch_losses(median_depth: jax.Array,
                       cfg: RasterConfig,
                       pixel_noise_th: float = 1.0,
                       patch_size: int = 3,
-                      query_capacity: int | None = None):
-    """Full-frame wrapper. Returns (ncc_loss, geo_loss, win_rej, n_queries)
-    scalars (win_rej = pixels dropped only by the NCC sampler window — a
-    persistently large count means the GSJAX_NCC_RU footprint is too narrow
-    for the scene's homographies; n_queries is the mv_queries watermark for
-    `query_capacity` bumping)."""
-    ncc_sum, ncc_cnt, geo_sum, geo_cnt, win_rej, n_queries = patchmatch_terms(
+                      query_capacity: int | None = None,
+                      ncc_block_capacity: int | None = None):
+    """Full-frame wrapper. Returns (ncc_loss, geo_loss, win_rej, n_queries,
+    n_blocks) scalars (win_rej = pixels dropped only by the NCC sampler
+    window — a persistently large count means the GSJAX_NCC_RU footprint is
+    too narrow for the scene's homographies; n_queries/n_blocks are the
+    mv_queries / ncc-block watermarks for capacity bumping)."""
+    (ncc_sum, ncc_cnt, geo_sum, geo_cnt, win_rej, n_queries,
+     n_blocks) = patchmatch_terms(
         median_depth, normal, means3d, scales, rotations, opacities, alive,
         ref_cam, near_cam, gray_r, gray_n, cfg, pixel_noise_th, patch_size,
-        query_capacity=query_capacity)
+        query_capacity=query_capacity,
+        ncc_block_capacity=ncc_block_capacity)
     geo_loss = geo_sum / jnp.maximum(geo_cnt, 1)
     ncc_loss = ncc_sum / jnp.maximum(ncc_cnt, 1)
     any_mask = geo_cnt > 0
     return (jnp.where(any_mask, ncc_loss, 0.0),
             jnp.where(any_mask, geo_loss, 0.0),
-            win_rej, n_queries)
+            win_rej, n_queries, n_blocks)

@@ -38,6 +38,10 @@ class LossConfig:
     # pixels is loss-exact; the Trainer bumps this like the pair buffers on
     # the metrics["mv_queries"] watermark (gsjax/train/multiview.py).
     mv_query_capacity: int | None = None
+    # static 16x16-block budget for the block-compacted NCC (None = dense);
+    # bumped/shrunk by the Trainer on the metrics["mv_blocks"] watermark
+    # like mv_query_capacity (gsjax/ops/ncc.py:warp_patch_ncc_blocks)
+    ncc_block_capacity: int | None = None
     # NaN root-cause probe (GSJAX_NAN_PROBE): per-param non-finite counts for
     # grads and post-update params ride in metrics["nonfinite"] so the
     # Trainer can catch the FIRST poisoned step and dump its pre-step state.
@@ -98,15 +102,18 @@ def train_step(params: gm.GaussianParams,
         ncc_loss = geo_loss = jnp.zeros(())
         ncc_win_rej = jnp.zeros((), jnp.int32)
         mv_queries = jnp.zeros((), jnp.int32)
+        mv_blocks = jnp.zeros((), jnp.int32)
         if (loss_cfg.reg_on and loss_cfg.mv_on and cfg.require_depth
                 and (loss_cfg.lambda_mv_ncc > 0 or loss_cfg.lambda_mv_geo > 0)):
             from gsjax.train.multiview import patchmatch_losses
-            ncc_loss, geo_loss, ncc_win_rej, mv_queries = patchmatch_losses(
+            (ncc_loss, geo_loss, ncc_win_rej, mv_queries,
+             mv_blocks) = patchmatch_losses(
                 out["median_depth"], out["normal"],
                 p.xyz, scales, p.rotation, opac, aux.alive,
                 camera, near_cam, gray_r, gray_n, cfg,
                 loss_cfg.pixel_noise_th, loss_cfg.patch_size,
-                query_capacity=loss_cfg.mv_query_capacity)
+                query_capacity=loss_cfg.mv_query_capacity,
+                ncc_block_capacity=loss_cfg.ncc_block_capacity)
 
         total = (rgb_loss + loss_cfg.lambda_depth_normal * dn_loss
                  + loss_cfg.lambda_mv_ncc * ncc_loss
@@ -114,6 +121,7 @@ def train_step(params: gm.GaussianParams,
         metrics = dict(loss=total, l1=ll1, ssim=ssim_val, dn_loss=dn_loss,
                        ncc_loss=ncc_loss, geo_loss=geo_loss,
                        ncc_win_rej=ncc_win_rej, mv_queries=mv_queries,
+                       mv_blocks=mv_blocks,
                        num_pairs=out["num_pairs"],
                        num_live_pairs=out["num_live_pairs"],
                        max_tile_count=out["max_tile_count"])

@@ -126,7 +126,7 @@ def test_multiview_losses_fire_on_consistent_scene():
 
     def loss_fn(ms, sc, qt, op):
         out = render(ms, sc, qt, op, args[4], cams[ref_i], cfg, jnp.zeros(3))
-        ncc, geo, _wr, _nq = patchmatch_losses(
+        ncc, geo, _wr, _nq, _nb = patchmatch_losses(
             out["median_depth"], out["normal"], ms, sc, qt, op, alive,
             cams[ref_i], cams[near_i], grays[ref_i], grays[near_i], cfg)
         return ncc + geo, (ncc, geo)
@@ -173,7 +173,7 @@ def test_multiview_query_compaction_parity():
 
     def loss_fn(ms, sc, qt, op, cap):
         out = render(ms, sc, qt, op, args[4], cams[1], cfg, jnp.zeros(3))
-        ncc, geo, _wr, nq = patchmatch_losses(
+        ncc, geo, _wr, nq, _nb = patchmatch_losses(
             out["median_depth"], out["normal"], ms, sc, qt, op, alive,
             cams[1], cams[2], grays[1], grays[2], cfg, query_capacity=cap)
         return ncc + 0.1 * geo, (ncc, geo, nq)
@@ -199,6 +199,75 @@ def test_multiview_query_compaction_parity():
     assert int(nq_t) == int(nq), "watermark must report the un-truncated demand"
     assert int(nq_t) > 128
     assert np.isfinite([float(ncc_t), float(geo_t)]).all()
+    for g in g_t:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.slow
+def test_ncc_block_compaction_parity():
+    """Block-compacted NCC (ncc_block_capacity) must reproduce the dense
+    masked NCC loss (tight: same formulas, exact f32 ref-tap blends,
+    identical per-block sampler content) and gradients to the bf16
+    sampler's sensitivity: the homography einsum's contraction order
+    differs between the [H,W] and [B,P] shapes, and ulp-level uv changes
+    shift the bf16 hat weights, so gradients agree to ~1e-4 absolute
+    while losses agree to 1e-5 relative. Also checks the mv_blocks
+    watermark and truncation behaviour."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsjax.ops.raster import RasterConfig, render
+    from gsjax.ops.raster.camera import Camera
+    from gsjax.train.multiview import patchmatch_losses
+    from tests.scene_gen import arc_pose, make_gaussians
+
+    w, h = 64, 32
+    means, scales, quats, opac, shs = make_gaussians(120, seed=0)
+    fx = 0.9 * w
+    fovx = 2 * np.arctan(w / (2 * fx))
+    fovy = 2 * np.arctan(h / (2 * fx))
+    cfg = RasterConfig(pair_capacity=1 << 14, max_per_tile=1 << 9,
+                       sh_degree=0, require_depth=True)
+    args = tuple(map(jnp.asarray, (means, scales, quats, opac, shs)))
+    cams, grays = [], []
+    for i in range(4):
+        r_w2c, tvec = arc_pose(i, 4)
+        cam = Camera.create(r_w2c.T, tvec, fovx, fovy, w, h)
+        cams.append(cam)
+        img = render(*args, cam, cfg, jnp.zeros(3))["render"]
+        grays.append(jnp.clip(img, 0, 1).mean(-1))
+    alive = jnp.ones((means.shape[0],), bool)
+
+    def loss_fn(ms, sc, qt, op, bcap):
+        out = render(ms, sc, qt, op, args[4], cams[1], cfg, jnp.zeros(3))
+        ncc, geo, _wr, _nq, nb = patchmatch_losses(
+            out["median_depth"], out["normal"], ms, sc, qt, op, alive,
+            cams[1], cams[2], grays[1], grays[2], cfg,
+            query_capacity=2048, ncc_block_capacity=bcap)
+        return ncc + 0.1 * geo, (ncc, geo, nb)
+
+    (_, (ncc_d, geo_d, _)), g_dense = jax.value_and_grad(
+        lambda *a: loss_fn(*a, None), argnums=(0, 1, 2, 3),
+        has_aux=True)(*args[:4])
+    (_, (ncc_c, geo_c, nb)), g_comp = jax.value_and_grad(
+        lambda *a: loss_fn(*a, 16), argnums=(0, 1, 2, 3),
+        has_aux=True)(*args[:4])
+    assert 0 < int(nb) <= 16    # 64x32 frame = 8 blocks total
+    np.testing.assert_allclose(float(ncc_c), float(ncc_d), rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(float(geo_c), float(geo_d), rtol=1e-5,
+                               atol=1e-7)
+    for gd, gc in zip(g_dense, g_comp):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gd),
+                                   atol=5e-4)
+
+    # truncation: capacity 2 < occupied blocks drops blocks (watermark
+    # reports the true demand) but stays finite
+    (_, (ncc_t, _geo_t, nb_t)), g_t = jax.value_and_grad(
+        lambda *a: loss_fn(*a, 2), argnums=(0, 1, 2, 3),
+        has_aux=True)(*args[:4])
+    assert int(nb_t) == int(nb)
+    assert np.isfinite(float(ncc_t))
     for g in g_t:
         assert np.isfinite(np.asarray(g)).all()
 
